@@ -1,0 +1,596 @@
+"""Public Whitebox saliency API.
+
+Mirrors the reference ``Whitebox``/``WhiteboxNetwork`` surface
+(reference: python/xfr/models/whitebox.py:25-824) with a TPU-native core:
+
+  * no hooks / weight mutation — EBP is an explicit interpreter pass
+    (xfr_tpu.ebp.interpreter) that jits to a single XLA program;
+  * contrastive variants batch the mate/nonmate backwards with vmap over
+    the output cotangent, sharing one forward capture;
+  * weighted-subtree EBP replaces the reference's O(n_layers) serial
+    layerwise re-runs (whitebox.py:699-703) with one vmapped batch of
+    prior-injected backward walks over shared forward captures.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xfr_tpu.graph import GraphDef
+from xfr_tpu.ebp import interpreter as I
+
+
+class WhiteboxNetwork:
+    """A network prepared for whitebox EBP (reference: whitebox.py:25-84).
+
+    Wraps a classify-headed ``GraphDef`` + params.  ``encode_tensor``
+    identifies the SSA tensor whose forward value is the embedding (the
+    reference's ``encode()`` output).  Triplet classification replaces the
+    final classifier weights (reference: whitebox.py:93-96).
+    """
+
+    def __init__(self, graph: GraphDef, params, *, encode_tensor: int,
+                 classifier_pname: str, num_classes: int,
+                 preprocess=None, embed_dim: Optional[int] = None,
+                 name: str = "net"):
+        self.graph = graph
+        self.params = dict(params)
+        self.encode_tensor = encode_tensor
+        self.classifier_pname = classifier_pname
+        self._num_classes = num_classes
+        self._preprocess = preprocess
+        self.embed_dim = embed_dim
+        self.name = name
+
+    def num_classes(self):
+        return self._num_classes
+
+    def set_triplet_classifier(self, x_mate, x_nonmate):
+        """Replace the classifier with a 2-row [x_mate; x_nonmate] matrix
+        (reference: whitebox.py:93-96,121-124,171-173)."""
+        w = jnp.concatenate(
+            [jnp.asarray(x_mate).reshape(1, -1),
+             jnp.asarray(x_nonmate).reshape(1, -1)], axis=0)
+        self.params = dict(self.params)
+        self.params[self.classifier_pname] = {"w": w}
+        self._num_classes = 2
+
+    def preprocess(self, im):
+        """PIL image / numpy HWC image -> [1,C,H,W] network input."""
+        if self._preprocess is None:
+            raise NotImplementedError(
+                f"no preprocess function registered for {self.name}")
+        return self._preprocess(im)
+
+
+class Whitebox:
+    """Whitebox EBP saliency engine (reference: whitebox.py:261-824)."""
+
+    def __init__(self, net: WhiteboxNetwork, ebp_version=None, with_bias=None,
+                 eps=1e-16, ebp_subtree_mode="affineonly_with_prior"):
+        assert isinstance(net, WhiteboxNetwork)
+        self.net = net
+        self.eps = float(eps)
+        self.ebp_ver = 6 if ebp_version is None else ebp_version
+        if self.ebp_ver < 4:
+            raise RuntimeError("ebp version, if set, must be at least 4")
+        # Version semantics (reference: whitebox.py:280-289).
+        self.convert_saliency_uint8 = (self.ebp_ver != 6)
+        if with_bias is not None:
+            self._ebp_with_bias = bool(with_bias)
+        else:
+            self._ebp_with_bias = self.ebp_ver == 11
+        self._ebp_subtree_mode = ebp_subtree_mode
+        self.batch_size = 32  # embeddings batching (whitebox.py:299)
+
+        # Exposed after each EBP call, mirroring reference attributes.
+        self.P: Dict[int, np.ndarray] = {}
+        self.P_layername = list(net.graph.event_names())
+
+        # Calibration constants, set by the factory (eval/create_wbnet.py).
+        self.match_threshold = None
+        self.platts_scaling = None
+
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # Core jitted kernels
+    # ------------------------------------------------------------------
+
+    def _kernel(self, key, builder):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = builder()
+            self._jit_cache[key] = fn
+        return fn
+
+    @property
+    def _n_events(self):
+        return self.net.graph.n_events
+
+    def _ebp_raw_fn(self, keep):
+        """jitted: (params, x, Pn) -> {event: P} for ``keep`` events."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        keep = tuple(sorted(k % graph.n_events for k in keep))
+
+        @jax.jit
+        def fn(params, x, Pn):
+            return I.ebp(graph, params, x, Pn, subtree_mode=mode, eps=eps,
+                         with_bias=wb, keep=keep)
+
+        return self._kernel(("ebp_raw", mode, wb, keep), lambda: fn)
+
+    def _ebp_multi_cotangent_fn(self, keep):
+        """jitted: (params, x, Pn_batch[k,1,C]) -> {event: P[k,...]} sharing
+        one forward capture across k backward sweeps."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        keep = tuple(sorted(k % graph.n_events for k in keep))
+
+        @jax.jit
+        def fn(params, x, Pns):
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+
+            def bwd(Pn):
+                return I.ebp_backward(
+                    graph, params, values, posvals, Pn, subtree_mode=mode,
+                    eps=eps, with_bias=wb, keep=keep)
+
+            return jax.vmap(bwd)(Pns)
+
+        return self._kernel(("ebp_multi", mode, wb, keep), lambda: fn)
+
+    # ------------------------------------------------------------------
+    # Saliency post-processing (reference: whitebox.py:439-460)
+    # ------------------------------------------------------------------
+
+    def _float32_to_uint8(self, img):
+        return np.uint8(255 * ((img - np.min(img)) /
+                               (self.eps + (np.max(img) - np.min(img)))))
+
+    def _scale_normalized(self, img):
+        img = np.float32(img)
+        return (img - np.min(img)) / (self.eps + (np.max(img) - np.min(img)))
+
+    def _mwp_to_saliency(self, P, blur_radius=2):
+        """Channel-pooled MWP -> saliency map: normalize + gaussian blur.
+
+        v6: float path, skimage.filters.gaussian equivalent
+        (scipy.ndimage.gaussian_filter, mode='nearest').
+        v!=6: uint8 path via PIL GaussianBlur (whitebox.py:448-460).
+        """
+        img = np.asarray(P, dtype=np.float32)
+        if self.convert_saliency_uint8:
+            import PIL.Image
+            import PIL.ImageFilter
+            img = self._float32_to_uint8(img)
+            img = np.array(PIL.Image.fromarray(img).filter(
+                PIL.ImageFilter.GaussianBlur(radius=blur_radius)))
+            img = self._float32_to_uint8(img)
+        else:
+            from scipy.ndimage import gaussian_filter
+            img = gaussian_filter(img, blur_radius, mode="nearest")
+            img = np.maximum(0, img)
+            img /= max(img.sum(), self.eps)
+        return img
+
+    # ------------------------------------------------------------------
+    # Public EBP API
+    # ------------------------------------------------------------------
+
+    def ebp_subtree_mode(self):
+        return self._ebp_subtree_mode
+
+    def _as_input(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 3:
+            x = x[None]
+        return x
+
+    def _onehot(self, k):
+        P = np.zeros((1, self.net.num_classes()), np.float32)
+        P[0, k] = 1.0
+        return jnp.asarray(P)
+
+    def ebp(self, x, Pn, mwp=False):
+        """Excitation backprop (reference: whitebox.py:482-504).
+
+        Returns the channel-pooled MWP of the second-to-last backward event
+        (the first conv's output plane), optionally converted to a saliency
+        map."""
+        x = self._as_input(x)
+        Pn = jnp.asarray(Pn, jnp.float32)
+        k = self._n_events - 2
+        out = self._ebp_raw_fn((k,))(self.net.params, x, Pn)
+        P = np.asarray(out[k], np.float32)
+        self.P = {k: P}
+        P = np.squeeze(P.sum(axis=1)).astype(np.float32)  # pool channels
+        return self._mwp_to_saliency(P) if not mwp else P
+
+    def contrastive_ebp(self, img_probe, k_poschannel, k_negchannel):
+        """Contrastive EBP: relu(mwp_mate - mwp_nonmate) at event -2, each
+        normalized to unit mass (reference: whitebox.py:506-527)."""
+        x = self._as_input(img_probe)
+        Pns = jnp.stack([self._onehot(k_poschannel),
+                         self._onehot(k_negchannel)])
+        k = self._n_events - 2
+        out = self._ebp_multi_cotangent_fn((k,))(self.net.params, x, Pns)
+        P = np.asarray(out[k], np.float32)  # [2,1,C,H,W]
+        mate = P[0] / max(P[0].sum(), self.eps)
+        nonmate = P[1] / max(P[1].sum(), self.eps)
+        mwp = np.squeeze(np.maximum(mate - nonmate, 0).sum(axis=1))
+        return self._mwp_to_saliency(mwp.astype(np.float32))
+
+    def truncated_contrastive_ebp(self, img_probe, k_poschannel, k_negchannel,
+                                  percentile=20):
+        """Truncated contrastive EBP (reference: whitebox.py:529-558): a
+        percentile-mass mask on the mate MWP gates the contrastive
+        difference."""
+        x = self._as_input(img_probe)
+        Pns = jnp.stack([self._onehot(k_poschannel),
+                         self._onehot(k_negchannel)])
+        k = self._n_events - 2
+        out = self._ebp_multi_cotangent_fn((k,))(self.net.params, x, Pns)
+        P = np.asarray(out[k], np.float64)
+        mate = P[0] / max(P[0].sum(), self.eps)
+        nonmate = P[1] / max(P[1].sum(), self.eps)
+
+        flat = mate.flatten()
+        order = np.argsort(flat, kind="stable")
+        csum = np.cumsum(flat[order])
+        mask = np.zeros_like(flat)
+        mask[order] = (csum >= (percentile / 100.0) * csum[-1]).astype(
+            np.float32)
+        mask = mask.reshape(mate.shape)
+        tc = np.maximum(mask * mate - mask * nonmate, 0)
+        mwp = np.squeeze(tc.sum(axis=1)).astype(np.float32)
+        return self._mwp_to_saliency(mwp)
+
+    def layerwise_ebp(self, img_probe, k_layer, mode="argmax", k_element=None,
+                      k_poschannel=0, mwp=True):
+        """Layerwise EBP (reference: whitebox.py:561-581): run EBP to get
+        P_mate, build a prior at event ``k_layer`` (argmax or single
+        element), then re-run with the prior injected and a zero output
+        cotangent."""
+        x = self._as_input(img_probe)
+        Pn = self._onehot(k_poschannel)
+        kk = self._n_events - 2
+        base = self._ebp_raw_fn((k_layer, kk))(self.net.params, x, Pn)
+        Pk = np.asarray(base[k_layer % self._n_events], np.float32)
+
+        if mode == "argmax":
+            prior = Pk * (Pk == Pk.max()).astype(np.float32)
+        elif mode == "elementwise":
+            assert k_element is not None
+            prior = np.zeros(Pk.size, np.float32)
+            prior[k_element] = Pk.flat[k_element]
+            prior = prior.reshape(Pk.shape)
+        else:
+            raise ValueError('invalid layerwise EBP mode "%s"' % mode)
+
+        return self._prior_ebp(x, {k_layer % self._n_events:
+                                   jnp.asarray(prior)}, mwp=mwp)
+
+    def _prior_ebp(self, x, priors, mwp=False):
+        """EBP with zero output cotangent and static per-event priors
+        (the reference's self.P_prior mechanism, whitebox.py:390-392)."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        kk = self._n_events - 2
+        prior_keys = tuple(sorted(priors.keys()))
+
+        @jax.jit
+        def fn(params, x, prior_vals):
+            pri = dict(zip(prior_keys, prior_vals))
+            Pn = jnp.zeros((x.shape[0], self.net.num_classes()), jnp.float32)
+            return I.ebp(graph, params, x, Pn, subtree_mode=mode, eps=eps,
+                         with_bias=wb, keep=(kk,), priors=pri)
+
+        fn = self._kernel(
+            ("prior_ebp", mode, wb, prior_keys, kk, self.net.num_classes()),
+            lambda: fn)
+        out = fn(self.net.params, x, tuple(priors[k] for k in prior_keys))
+        P = np.asarray(out[kk], np.float32)
+        P = np.squeeze(P.sum(axis=1)).astype(np.float32)
+        return self._mwp_to_saliency(P) if not mwp else P
+
+    def layerwise_contrastive_ebp(self, img_probe, k_poschannel, k_negchannel,
+                                  k_layer, mode="copy", percentile=80,
+                                  k_element=None, gradlayer=None, mwp=False):
+        """Deprecated layerwise contrastive EBP, 8 prior-construction modes
+        (reference: whitebox.py:584-644)."""
+        import warnings
+        warnings.warn("layerwise_contrastive_ebp is deprecated, use "
+                      "weighted_subtree_ebp instead")
+        x = self._as_input(img_probe)
+        Pns = jnp.stack([self._onehot(k_poschannel),
+                         self._onehot(k_negchannel)])
+        kl = k_layer % self._n_events
+        out = self._ebp_multi_cotangent_fn((kl,))(self.net.params, x, Pns)
+        Pm = np.asarray(out[kl][0], np.float32)
+        Pn_ = np.asarray(out[kl][1], np.float32)
+        C = np.maximum(Pm - Pn_, 0)
+
+        if mode == "copy":
+            prior = C
+        elif mode == "mean":
+            prior = 0.5 * (Pm + C)
+        elif mode == "product":
+            prior = np.sqrt(Pm.astype(np.float64) *
+                            C.astype(np.float64)).astype(np.float32)
+        elif mode == "argmax":
+            prior = C * (C == C.max()).astype(np.float32)
+        elif mode in ("percentile", "percentile_argmax"):
+            assert 0 <= percentile <= 100
+            flat = Pm.flatten()
+            order = np.argsort(flat, kind="stable")
+            csum = np.cumsum(flat[order])
+            m = np.zeros_like(flat)
+            m[order] = (csum >= (percentile / 100.0) * csum[-1]).astype(
+                np.float32)
+            prior = m.reshape(Pm.shape) * C
+            if mode == "percentile_argmax":
+                prior = prior * (prior == prior.max()).astype(np.float32)
+        elif mode == "argmax_product":
+            pr = np.sqrt(Pm.astype(np.float64) *
+                         C.astype(np.float64)).astype(np.float32)
+            prior = pr * (pr == pr.max()).astype(np.float32)
+        elif mode == "elementwise":
+            prior = np.zeros(C.size, np.float32)
+            prior[k_element] = C.flat[k_element]
+            prior = prior.reshape(C.shape)
+        else:
+            raise ValueError('unknown contrastive ebp mode "%s"' % mode)
+
+        return self._prior_ebp(x, {kl: jnp.asarray(prior)}, mwp=mwp)
+
+    # ------------------------------------------------------------------
+    # Weighted subtree EBP
+    # ------------------------------------------------------------------
+
+    def weighted_subtree_ebp(self, img_probe, k_poschannel, k_negchannel,
+                             topk=1, verbose=False, do_max_subtree=False,
+                             do_mated_similarity_gating=True,
+                             subtree_mode="norelu", do_mwp_to_saliency=True,
+                             max_candidates=None):
+        """Weighted subtree EBP (reference: whitebox.py:647-737).
+
+        Gradient-gates every backward event to rank subtrees, then runs a
+        *batched* set of prior-injected layerwise EBP backwards (one device
+        launch) instead of the reference's serial per-layer re-runs.
+
+        ``max_candidates`` bounds how many top-ranked subtrees are evaluated
+        (None = all n_events-1, exactly matching the reference's sweep;
+        the reference discards all but the topk valid anyway, so a small
+        multiple of topk is a faithful fast path).
+        """
+        prev_mode = self._ebp_subtree_mode
+        self._ebp_subtree_mode = subtree_mode
+        try:
+            return self._weighted_subtree_ebp(
+                img_probe, k_poschannel, k_negchannel, topk, verbose,
+                do_max_subtree, do_mated_similarity_gating,
+                do_mwp_to_saliency, max_candidates)
+        finally:
+            self._ebp_subtree_mode = prev_mode
+
+    def _wsebp_grad_fn(self):
+        """jitted: per-event subtree scores + argmax + P_mate injection
+        values, all in one program."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        n_ev = graph.n_events
+
+        @partial(jax.jit, static_argnames=("gating",))
+        def fn(params, x, Pn_pos, gating):
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+            y = values[graph.output_id]
+
+            cot_m = jnp.zeros_like(y).at[0, 0].set(1.0)
+            cot_n = jnp.zeros_like(y).at[0, 1].set(1.0)
+            dA_m = I.natural_backward(graph, params, values, cot_m)
+            dA_n = I.natural_backward(graph, params, values, cot_n)
+            if not gating:
+                cot_ce = jax.nn.softmax(y, axis=-1) - cot_m
+                dA_ce = I.natural_backward(graph, params, values, cot_ce)
+
+            scores, idxs = [], []
+            for k in range(n_ev - 1):
+                if gating:
+                    gated = (dA_m[k] >= 0) * (-dA_n[k])
+                else:
+                    gated = (dA_ce[k] < 0) * (-dA_n[k])
+                scores.append(jnp.max(gated))
+                idxs.append(jnp.argmax(gated))
+
+            # Base EBP to harvest injection values P_mate[k].flat[idx[k]]
+            # (reference: whitebox.py:575-577 via layerwise_ebp).
+            P_mate = I.ebp_backward(
+                graph, params, values, posvals, Pn_pos, subtree_mode=mode,
+                eps=eps, with_bias=wb, keep=tuple(range(n_ev - 1)))
+            vals = [P_mate[k].reshape(-1)[idxs[k]] for k in range(n_ev - 1)]
+            return (jnp.stack(scores), jnp.stack(idxs), jnp.stack(vals),
+                    values, posvals)
+
+        return self._kernel(("wsebp_grad", mode, wb), lambda: fn)
+
+    def _wsebp_inject_fn(self):
+        """jitted: vmapped prior-injected backward over candidate events,
+        sharing forward captures."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        kk = graph.n_events - 2
+
+        @jax.jit
+        def fn(params, values, posvals, ev_ids, elems, vals):
+            zero_cot = jnp.zeros_like(values[graph.output_id])
+
+            def one(ev_id, elem, val):
+                out = I.ebp_backward(
+                    graph, params, values, posvals, zero_cot,
+                    subtree_mode=mode, eps=eps, with_bias=wb, keep=(kk,),
+                    inject_spec=(ev_id, elem, val))
+                return out[kk].sum(axis=1)  # pool channels
+
+            return jax.vmap(one)(ev_ids, elems, vals)
+
+        return self._kernel(("wsebp_inject", mode, wb), lambda: fn)
+
+    def _weighted_subtree_ebp(self, img_probe, k_poschannel, k_negchannel,
+                              topk, verbose, do_max_subtree,
+                              do_mated_similarity_gating, do_mwp_to_saliency,
+                              max_candidates):
+        x = self._as_input(img_probe)
+        n_ev = self._n_events
+        Pn_pos = self._onehot(k_poschannel)
+
+        scores, idxs, vals, values, posvals = self._wsebp_grad_fn()(
+            self.net.params, x, Pn_pos, gating=bool(do_mated_similarity_gating))
+        P_subtree = np.asarray(scores, np.float32)
+        P_subtree_idx = np.asarray(idxs)
+        inj_vals = np.asarray(vals, np.float32)
+
+        # Candidate order: ascending score, like the reference's argsort
+        # (whitebox.py:697); it then keeps the last topk valid entries.
+        k_order = np.argsort(P_subtree, kind="stable")
+        if max_candidates is not None:
+            k_order = k_order[-int(max_candidates):]
+
+        out = self._wsebp_inject_fn()(
+            self.net.params, values, posvals,
+            jnp.asarray(k_order.astype(np.int32)),
+            jnp.asarray(P_subtree_idx[k_order].astype(np.int32)),
+            jnp.asarray(inj_vals[k_order]))
+        P_img = np.asarray(out, np.float32)  # [cand, 1, H, W]
+        P_img = [np.squeeze(p).astype(np.float32) for p in P_img]
+
+        if verbose:
+            for k, p in zip(k_order, P_img):
+                print("[weighted_subtree_ebp][%d]: layername=%s, grad=%f"
+                      % (k, self.P_layername[k], P_subtree[k]))
+
+        # Valid-subtree selection (reference: whitebox.py:706-717).
+        # k==1 excluded: the Multiply() layer event on STR-Janus.
+        k_valid = [np.max(P) > 0 for P in P_img]
+        k_subtree_valid = [k for (k, v) in zip(k_order, k_valid)
+                           if v and k != 1][-topk:]
+        if len(k_subtree_valid) == 0:
+            raise RuntimeError(
+                "Failed to calculate valid subtrees. The ebp subtree mode "
+                "(%s) may not be supported by this type of network. You may "
+                'want to try the "affineonly_with_prior" ebp subtree mode.'
+                % self._ebp_subtree_mode)
+        P_img_valid = [p for (p, k, v) in zip(P_img, k_order, k_valid)
+                       if v and k != 1][-topk:]
+        P_subtree_valid = [float(P_subtree[k]) for k in k_subtree_valid]
+        norm = self._scale_normalized(P_subtree_valid)
+        if np.sum(norm) == 0:
+            norm = np.ones_like(P_subtree_valid)
+
+        stack = np.dstack([
+            float(w) * np.array(P) * (1.0 / (np.max(P) + 1e-12))
+            for (w, P) in zip(norm, P_img_valid)])
+        smap = (np.max(stack, axis=2) if do_max_subtree
+                else np.sum(stack, axis=2))
+
+        if self.convert_saliency_uint8:
+            smap = self._float32_to_uint8(smap)
+        else:
+            smap = smap / max(smap.sum(), self.eps)
+
+        return (
+            self._mwp_to_saliency(smap) if do_mwp_to_saliency else smap,
+            [self._mwp_to_saliency(P) if do_mwp_to_saliency else P
+             for P in P_img_valid],
+            P_subtree_valid,
+            [int(k) for k in k_subtree_valid])
+
+    # ------------------------------------------------------------------
+    # Embeddings (reference: whitebox.py:742-806)
+    # ------------------------------------------------------------------
+
+    def encode(self, x):
+        """Embedding forward for a [N,C,H,W] input batch."""
+        graph = self.net.graph
+
+        @jax.jit
+        def fn(params, x):
+            values = I.forward_clean(graph, params, x)
+            return values[self.net.encode_tensor]
+
+        fn = self._kernel(("encode",), lambda: fn)
+        return fn(self.net.params, self._as_input(x))
+
+    def embeddings(self, images, norm=True):
+        """Batched embeddings from preprocessed tensors or raw numpy images
+        (reference: whitebox.py:747-785).  Pads the trailing batch so every
+        launch reuses one compiled shape."""
+        import pandas as pd
+
+        if isinstance(images, (np.ndarray, jnp.ndarray)) and \
+                getattr(images, "ndim", 0) == 4 and images.shape[1] in (1, 3):
+            imagesT = jnp.asarray(images, jnp.float32)
+        elif isinstance(images, pd.DataFrame):
+            from xfr_tpu.utils.image import dataframe_image_loader
+            imagesT = jnp.stack([
+                self.convert_from_numpy(im)[0]
+                for im in dataframe_image_loader(images)])
+        else:
+            ims = []
+            for im in images:
+                if isinstance(im, (np.ndarray, jnp.ndarray)) and im.ndim == 3 \
+                        and im.shape[0] in (1, 3):
+                    ims.append(jnp.asarray(im, jnp.float32))
+                else:
+                    ims.append(self.convert_from_numpy(np.asarray(im))[0])
+            imagesT = jnp.stack(ims)
+
+        n = imagesT.shape[0]
+        bs = self.batch_size
+        pad = (-n) % bs
+        if pad:
+            imagesT = jnp.concatenate(
+                [imagesT, jnp.zeros((pad,) + imagesT.shape[1:],
+                                    imagesT.dtype)])
+        embeds = []
+        for i in range(0, n + pad, bs):
+            embeds.append(np.asarray(self.encode(imagesT[i:i + bs])))
+        embeds = np.concatenate(embeds)[:n]
+
+        if norm:
+            flat = embeds.reshape(embeds.shape[0], -1)
+            embeds = (flat / np.linalg.norm(flat, axis=1, keepdims=True)
+                      ).reshape(embeds.shape)
+        return embeds
+
+    def convert_from_numpy(self, img):
+        """Float/uint8 RGB HWC image -> [1,C,H,W] net input
+        (reference: whitebox.py:787-806)."""
+        from xfr_tpu.utils.image import resize as _resize
+        img = np.asarray(img)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255
+        if img.max() > 1 + 1e-6 and img.min() > 0 - 1e-6:
+            img = img / 255
+        img = _resize(img, (224, 224))
+        img = (img * 255).astype(np.uint8)
+        return self.net.preprocess(img)
+
+    def preprocess_loader(self, images, returnImageIndex=False, repeats=1):
+        """Iterate (displayable image, tensor, filename)
+        (reference: whitebox.py:808-824)."""
+        from xfr_tpu.utils.image import image_loader
+        for im, fn in image_loader(images, returnFileName=True,
+                                   returnImageIndex=returnImageIndex,
+                                   repeats=repeats):
+            imT = self.convert_from_numpy(im)
+            yield im, imT[0], fn

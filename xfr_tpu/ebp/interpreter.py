@@ -1,0 +1,265 @@
+"""Excitation-backprop interpreter over the graph IR.
+
+Replaces the reference's three-forward-pass + autograd-hook machinery
+(reference: python/xfr/models/whitebox.py:306-437, 482-504) with two
+forward passes and one explicit, statically-scheduled backward walk:
+
+  pass 1 (clean):     values[t]  — the ordinary forward, original weights.
+                      a(t) = relu(values[t]) is the reference's self.A
+                      (whitebox.py:359).
+  pass 2 (positive):  posvals[t] — each *hooked* call computes with ReLU'd
+                      weights from the overridden input a(t_in); unhooked
+                      functional ops flow through naturally.
+                      x(t) = relu(posvals[t]) is the reference's self.X
+                      (whitebox.py:326-330).
+  backward:           walk nodes in descending call order.  Right before a
+                      node's vjp runs, its output tensor's hook chain fires
+                      (ascending consumer order), computing
+                      p = a * relu(z), optionally overridden by a prior, and
+                      rewriting the gradient per the subtree mode
+                      (whitebox.py:381-432).  Affine vjps use positive
+                      weights; nonlinear vjps linearize at clean values.
+
+Because pass 3 of the reference (mode='ebp') runs the forward with restored
+original weights, its activations equal pass 1 — so only two forward passes
+are needed here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xfr_tpu import ops as O
+from xfr_tpu.graph import GraphDef
+
+VALID_SUBTREE_MODES = ("affineonly", "affineonly_with_prior", "norelu", "all")
+
+
+def forward_clean(graph: GraphDef, params, x):
+    """Pass 1: ordinary forward.  Returns per-tensor values."""
+    values = [None] * graph.n_tensors
+    values[graph.input_id] = x
+    for node in graph.nodes:
+        p = params.get(node.pname, {}) if node.pname else {}
+        xs = tuple(values[i] for i in node.ins)
+        values[node.out] = O.apply_op(node.op, p, xs, node.attrs_dict)
+    return values
+
+
+def forward_positive(graph: GraphDef, params, values, with_bias=False):
+    """Pass 2: positive-weight forward with per-hooked-call input override.
+
+    Mirrors 'positive_activation' mode (whitebox.py:315-330): each hooked
+    call's input is replaced by a = relu(clean input) before computing with
+    W+ weights; the value that *naturally* arrived at the call is what the
+    reference records as X.  Unhooked ops (normalize/flatten/...) compute on
+    the flowing positive values without override.
+    """
+    posvals = [None] * graph.n_tensors
+    posvals[graph.input_id] = values[graph.input_id]
+    for node in graph.nodes:
+        p = params.get(node.pname, {}) if node.pname else {}
+        if node.hooked:
+            p = O.positive_params(node.op, p, with_bias=with_bias)
+            xs = tuple(jnp.maximum(values[i], 0) for i in node.ins)
+        else:
+            xs = tuple(posvals[i] for i in node.ins)
+        posvals[node.out] = O.apply_op(node.op, p, xs, node.attrs_dict)
+    return posvals
+
+
+def _check_mode(graph, mode):
+    if mode not in VALID_SUBTREE_MODES:
+        raise ValueError(f'invalid subtree mode "{mode}"')
+    for ev in graph.events:
+        if ev.is_special:
+            raise ValueError(
+                'layer "%s" is a special case '
+                "(https://arxiv.org/pdf/1608.00507.pdf, eq 5) and is not "
+                "supported for EBP" % ev.tag)
+
+
+def _apply_event_rule(ev, mode, z, a, xpos, eps, prior, inject_spec):
+    """One tensor-hook firing: compute the MWP p and the rewritten gradient.
+
+    Implements _backward_ebp (whitebox.py:381-432).  ``prior`` is a static
+    override array (or None).  ``inject_spec`` optionally provides a traced
+    dynamic one-hot override (event_id, flat_elem, value) used by the
+    batched weighted-subtree path; presence is then a traced boolean.
+    """
+    zh = jnp.maximum(z, 0)
+    p = a * zh
+
+    has_static = prior is not None
+    if has_static:
+        p = jnp.broadcast_to(prior, p.shape).astype(p.dtype)
+
+    if inject_spec is not None:
+        ev_id, elem, val = inject_spec
+        is_here = (ev_id == ev.idx)
+        flat = jnp.zeros((p.size,), p.dtype).at[elem].set(
+            val.astype(p.dtype))
+        p = jnp.where(is_here, flat.reshape(p.shape), p)
+        # Traced presence flag: prior "is not None" iff injected here.
+        has_prior = is_here if not has_static else True
+    else:
+        has_prior = has_static
+
+    if mode == "affineonly":
+        g2 = p / (xpos + eps) if ev.is_affine else z
+    elif mode == "affineonly_with_prior":
+        # zh/p masked where a prior is present (whitebox.py:406-415).
+        if inject_spec is not None and not has_static:
+            pm = jnp.where(has_prior, (p > 0) * p, p)
+            zm = jnp.where(has_prior, (p > 0) * z, zh)
+        elif has_static:
+            pm = (p > 0) * p
+            zm = (p > 0) * z
+        else:
+            pm, zm = p, zh
+        g2 = pm / (xpos + eps) if ev.is_affine else zm
+    elif mode == "norelu":
+        y = p / (xpos + eps)
+        if ev.is_poolrelu:
+            if inject_spec is not None and not has_static:
+                g2 = jnp.where(has_prior, z, y)
+            elif has_static:
+                g2 = z
+            else:
+                g2 = y
+        else:
+            g2 = y
+    elif mode == "all":
+        g2 = p / (xpos + eps)
+    else:
+        raise ValueError(f'invalid subtree mode "{mode}"')
+    return g2, p
+
+
+def ebp_backward(
+    graph: GraphDef,
+    params,
+    values,
+    posvals,
+    cotangent,
+    *,
+    subtree_mode: str,
+    eps: float = 1e-16,
+    with_bias: bool = False,
+    keep: Optional[Sequence[int]] = None,
+    priors: Optional[Dict[int, jnp.ndarray]] = None,
+    inject_spec=None,
+) -> Dict[int, jnp.ndarray]:
+    """EBP backward walk.  Returns {event_idx: P} for requested events.
+
+    Args:
+      cotangent: gradient seeded at the graph output (the reference's
+        ``Xn.backward(Pn)``, whitebox.py:498).
+      keep: event indices whose MWP to return (default: all).  Unrequested
+        events are dead code XLA eliminates.
+      priors: static per-event override arrays (reference self.P_prior,
+        whitebox.py:390-392,570-577).
+      inject_spec: traced (event_id, flat_elem, value) dynamic one-hot prior
+        for the vmapped weighted-subtree path.
+    """
+    _check_mode(graph, subtree_mode)
+    priors = priors or {}
+    keep_set = set(range(graph.n_events)) if keep is None else set(
+        k % graph.n_events for k in keep)
+
+    grads = [None] * graph.n_tensors
+    grads[graph.output_id] = cotangent
+    out: Dict[int, jnp.ndarray] = {}
+
+    # Event lookup: (tensor, consumer, slot) -> Event
+    ev_by_key = {(e.tensor, e.consumer, e.slot): e for e in graph.events}
+
+    def _finalize(t):
+        g = grads[t]
+        if g is None:
+            return
+        for (ci, slot, at, xt) in graph.hooks_on(t):
+            ev = ev_by_key[(t, ci, slot)]
+            a = jnp.maximum(values[at], 0)
+            xp = jnp.maximum(posvals[xt], 0)
+            g, p = _apply_event_rule(
+                ev, subtree_mode, g, a, xp, eps,
+                priors.get(ev.idx), inject_spec)
+            if ev.idx in keep_set:
+                out[ev.idx] = p
+        grads[t] = g
+
+    for ni in range(len(graph.nodes) - 1, -1, -1):
+        node = graph.nodes[ni]
+        _finalize(node.out)
+        g = grads[node.out]
+        if g is None:
+            continue
+        p = params.get(node.pname, {}) if node.pname else {}
+        if node.hooked:
+            p = O.positive_params(node.op, p, with_bias=with_bias)
+        xs = tuple(values[i] for i in node.ins)
+        contribs = O.op_vjp(node.op, p, xs, node.attrs_dict, g)
+        for i, c in zip(node.ins, contribs):
+            grads[i] = c if grads[i] is None else grads[i] + c
+    _finalize(graph.input_id)
+    return out
+
+
+def natural_backward(
+    graph: GraphDef,
+    params,
+    values,
+    cotangent,
+    keep: Optional[Sequence[int]] = None,
+) -> Dict[int, jnp.ndarray]:
+    """Plain autograd backward collecting raw per-event gradients.
+
+    This is the reference's 'activation'-mode backward where _savegrad
+    records dA at every hooked input in hook-fire order
+    (whitebox.py:356-358, 652-676).  Original weights, no gradient rewrite.
+    Returns {event_idx: dA}.
+    """
+    keep_set = set(range(graph.n_events)) if keep is None else set(
+        k % graph.n_events for k in keep)
+    grads = [None] * graph.n_tensors
+    grads[graph.output_id] = cotangent
+    out: Dict[int, jnp.ndarray] = {}
+    ev_by_key = {(e.tensor, e.consumer, e.slot): e for e in graph.events}
+
+    def _finalize(t):
+        g = grads[t]
+        if g is None:
+            return
+        for (ci, slot, at, xt) in graph.hooks_on(t):
+            ev = ev_by_key[(t, ci, slot)]
+            if ev.idx in keep_set:
+                out[ev.idx] = g
+
+    for ni in range(len(graph.nodes) - 1, -1, -1):
+        node = graph.nodes[ni]
+        _finalize(node.out)
+        g = grads[node.out]
+        if g is None:
+            continue
+        p = params.get(node.pname, {}) if node.pname else {}
+        xs = tuple(values[i] for i in node.ins)
+        contribs = O.op_vjp(node.op, p, xs, node.attrs_dict, g)
+        for i, c in zip(node.ins, contribs):
+            grads[i] = c if grads[i] is None else grads[i] + c
+    _finalize(graph.input_id)
+    return out
+
+
+def ebp(graph, params, x, Pn, *, subtree_mode, eps=1e-16, with_bias=False,
+        keep=None, priors=None, inject_spec=None):
+    """Full EBP: both forward passes + backward.  Returns {event_idx: P}."""
+    values = forward_clean(graph, params, x)
+    posvals = forward_positive(graph, params, values, with_bias=with_bias)
+    return ebp_backward(
+        graph, params, values, posvals, Pn,
+        subtree_mode=subtree_mode, eps=eps, with_bias=with_bias,
+        keep=keep, priors=priors, inject_spec=inject_spec)
