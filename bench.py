@@ -1,0 +1,79 @@
+"""Benchmark: whitebox EBP saliency generation throughput on one TPU chip.
+
+Measures the inpainting-game standard per-probe method mix on the flagship
+STR-Janus ResNet-101+L2 matcher (the workload behind the reference's
+"~36 hours on 1x Titan X" whitebox stage, reference README.md:166):
+
+  per probe: meanEBP + contrastive + truncated-contrastive (pct 20)
+             + weighted-subtree (topk=32, all subtree candidates)
+  = 4 saliency maps (generate_whitebox_saliency.py:316-411).
+
+Baseline derivation (documented assumptions): the reference generates 4 maps
+per filtered (probe, mask) unit.  Two independent estimates agree the
+reference spends ~100 s per 4-map mix on a Titan X: (a) the weighted-subtree
+sweep alone is n_events (~379) serial layerwise EBP re-runs, each 3 forwards
++ 1 backward of ResNet-101 @224 (~65 ms/pass Titan X f32) ~= 95 s; (b) 36 h
+over the ~1.3k filtered probe-mask units of the resnetv4 split.  Baseline
+throughput = 4 maps / 100 s = 0.04 maps/s/GPU.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MAPS_PER_SEC = 0.04  # reference Titan X, standard 4-map mix
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from xfr_tpu.models import create_wbnet
+
+    wb = create_wbnet("resnetv6_pytorch")
+    rng = np.random.RandomState(0)
+    probe = jnp.asarray(rng.rand(1, 3, 224, 224) * 50, jnp.float32)
+    mates = jnp.asarray(rng.rand(2, 3, 224, 224) * 50, jnp.float32)
+    nonmates = jnp.asarray(rng.rand(2, 3, 224, 224) * 50, jnp.float32)
+
+    # triplet classifier from averaged/normalized encodings
+    # (generate_whitebox_saliency.py:46-75)
+    em = np.asarray(wb.encode(mates)).mean(0)
+    en = np.asarray(wb.encode(nonmates)).mean(0)
+    em /= np.linalg.norm(em)
+    en /= np.linalg.norm(en)
+
+    def mix():
+        wb.net.set_triplet_classifier(em / 2500.0, en / 2500.0)
+        Pn = jnp.ones((1, 2), jnp.float32) / 2.0
+        s1 = wb.ebp(probe, Pn)
+        s2 = wb.contrastive_ebp(probe, 0, 1)
+        s3 = wb.truncated_contrastive_ebp(probe, 0, 1, percentile=20)
+        wb.net.set_triplet_classifier(em, en)
+        s4, _, _, _ = wb.weighted_subtree_ebp(
+            probe, 0, 1, topk=32, subtree_mode="norelu", verbose=False)
+        return s1, s2, s3, s4
+
+    mix()  # warmup / compile
+    n_iters = 3
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = mix()
+    dt = (time.time() - t0) / n_iters
+    for s in out:
+        assert np.isfinite(s).all()
+
+    maps_per_sec = 4.0 / dt
+    print(json.dumps({
+        "metric": "whitebox EBP saliency maps/sec/chip (4-map eval mix, "
+                  "ResNet-101+L2)",
+        "value": round(maps_per_sec, 4),
+        "unit": "maps/sec/chip",
+        "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

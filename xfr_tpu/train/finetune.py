@@ -1,0 +1,65 @@
+"""Sharded fine-tuning step for the embedding networks.
+
+The reference ships no training loop (SURVEY.md §2.8) — matchers are frozen
+checkpoints.  This module adds the TPU-native capability anyway: a jitted
+classification/fine-tune step over a (dp, mp) mesh where the batch shards
+over 'dp' and the large classifier (65359 classes for STR-Janus ResNet,
+80013 for LightCNN) shards over 'mp' (tensor parallel).  GSPMD inserts the
+ICI collectives (all-reduce for grads across dp, all-gather/reduce for the
+sharded logits) from the sharding annotations alone.
+
+Pipeline/sequence/expert parallelism have no counterpart in these small
+fixed-resolution CNNs (no sequence dim, no MoE); dp + classifier-tp is the
+full parallelism surface of this workload.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from xfr_tpu.ebp import interpreter as I
+from xfr_tpu.parallel.mesh import classifier_tp_shardings, data_sharding
+
+
+def make_train_step(graph, classifier_pname, mesh=None, dp_axis="dp",
+                    mp_axis="mp", learning_rate=1e-3, optimizer=None,
+                    weight_decay=0.0):
+    """Returns (step_fn, init_fn).
+
+    step_fn(params, opt_state, x, y) -> (params, opt_state, loss)
+      x: [B,C,H,W] images sharded over dp; y: [B] int labels.
+    init_fn(params) -> (placed_params, opt_state)
+    """
+    tx = optimizer or optax.sgd(learning_rate, momentum=0.9)
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+
+    def loss_fn(params, x, y):
+        values = I.forward_clean(graph, params, x)
+        logits = values[graph.output_id]
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        return jnp.mean(loss)
+
+    def step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step), lambda params: (params, tx.init(params))
+
+    def init_fn(params):
+        shardings = classifier_tp_shardings(mesh, params, classifier_pname,
+                                            axis=mp_axis)
+        params = jax.tree.map(jax.device_put, params, shardings)
+        # Optimizer state (momentum buffers) inherits the param shardings
+        # through jit's sharding propagation on first step.
+        return params, tx.init(params)
+
+    x_sh = data_sharding(mesh, dp_axis, 4)
+    y_sh = data_sharding(mesh, dp_axis, 1)
+    step_fn = jax.jit(step, in_shardings=(None, None, x_sh, y_sh))
+    return step_fn, init_fn
