@@ -1,0 +1,118 @@
+"""Blackbox STRise engine tests: mask pipeline stats, blur parity, and a
+synthetic end-to-end localization check through a host black_box_fn."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xfr_tpu.blackbox import masks as M
+from xfr_tpu.blackbox.strise import STRise, _l2_similarity
+
+
+def test_gaussian_blur_matches_scipy():
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(31, 29).astype(np.float32)
+    for sigma in (0.8, 2.0, 5.0):
+        got = np.asarray(M.gaussian_blur(jnp.asarray(img), sigma))
+        ref = gaussian_filter(img, sigma, mode="nearest")
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    # channel-last RGB
+    img3 = rng.rand(24, 24, 3).astype(np.float32)
+    got = np.asarray(M.gaussian_blur(jnp.asarray(img3), 2.0))
+    ref = gaussian_filter(img3, (2.0, 2.0, 0), mode="nearest")
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_grid_sampling_respects_prior_support():
+    key = jax.random.PRNGKey(0)
+    probs = np.zeros((6, 6), np.float32)
+    probs[2:4, 2:4] = 0.25  # support = 4 cells
+    grids = np.asarray(M.sample_sparse_grids(key, jnp.asarray(probs),
+                                             num_masks=64, num_elements=2))
+    assert grids.shape == (64, 6, 6)
+    # exactly two zeros per mask, all inside the support
+    zeros = 1.0 - grids
+    assert np.all(zeros.sum(axis=(1, 2)) == 2)
+    support = np.zeros((6, 6), bool)
+    support[2:4, 2:4] = True
+    assert np.all(zeros[:, ~support] == 0)
+    # without replacement: no cell hit twice in one mask
+    assert zeros.max() == 1.0
+
+
+def test_make_masks_shapes_and_range():
+    key = jax.random.PRNGKey(1)
+    prior = np.ones((64, 64), np.float32)
+    masks = np.asarray(M.make_masks(key, jnp.asarray(prior), num_masks=16,
+                                    mask_scale=8, num_elements=1,
+                                    prior_type="uniform"))
+    assert masks.shape == (16, 64, 64)
+    assert masks.min() >= -1e-6 and masks.max() <= 1 + 1e-6
+    # each mask hides roughly one cell of ~(64/8)^2=64 px (bilinear softened)
+    hidden = (1.0 - masks).sum(axis=(1, 2))
+    assert np.all(hidden > 10) and np.all(hidden < 300)
+
+
+def _patch_signature(img, y0=32, x0=32, s=48):
+    return img[..., y0:y0 + s, x0:x0 + s, :].mean(axis=(-3, -2, -1))
+
+
+def test_strise_synthetic_localization():
+    """A planted bright patch is the only identity evidence; the saliency
+    map must concentrate on it."""
+    rng = np.random.RandomState(0)
+    probe = np.full((224, 224, 3), 30, np.uint8)
+    probe[32:80, 32:80] = 220  # discriminative patch
+
+    ref = probe.copy()
+    gal = np.full((224, 224, 3), 30, np.uint8)  # non-mate: no patch
+
+    def bb_fn(probes, gallery):
+        p = np.stack([np.asarray(x, np.float64) for x in probes])
+        g = np.stack([np.asarray(x, np.float64) for x in gallery])
+        ps = _patch_signature(p / 255.0)
+        gs = _patch_signature(g / 255.0)
+        return 1.0 - np.abs(ps[:, None] - gs[None, :])
+
+    st = STRise(probe=probe, refs=[ref], gallery=[gal],
+                black_box_fn=bb_fn, prior_type="uniform",
+                num_masks=300, mask_scale=28, num_mask_elements=1,
+                mask_fill_type="gray", seed=3)
+    st.evaluate()
+
+    sal = st.saliency_map
+    assert sal.shape == (224, 224)
+    assert np.isfinite(sal).all()
+    inside = sal[32:80, 32:80].mean()
+    outside_mask = np.ones((224, 224), bool)
+    outside_mask[20:92, 20:92] = False
+    outside = sal[outside_mask].mean()
+    assert inside > outside + 0.2, (inside, outside)
+
+
+def test_l2_similarity_range():
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 16)
+    y = rng.randn(3, 16)
+    s = _l2_similarity(x, y)
+    assert s.shape == (4, 3)
+    assert np.all(s <= 1.0) and np.all(s >= 0.0)  # unit vectors: dist<=2
+    np.testing.assert_allclose(_l2_similarity(x, x).diagonal(), 1.0,
+                               atol=1e-12)
+
+
+def test_strise_validation_errors():
+    probe = np.zeros((224, 224, 3), np.uint8)
+    probe[0, 0] = 255
+    with pytest.raises(ValueError):
+        STRise(probe=probe, refs=[probe], black_box_fn=lambda a, b: None,
+               prior_type="nope")
+    with pytest.raises(ValueError):
+        STRise(probe=probe, refs=[probe])  # no black box
+    with pytest.raises(ValueError):
+        STRise(refs=[probe], black_box_fn=lambda a, b: None)  # no probe

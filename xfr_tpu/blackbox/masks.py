@@ -1,0 +1,117 @@
+"""Device-side sparse mask generation and image filling for STRise.
+
+The reference generates masks on host with per-mask python loops
+(reference: python/xfr/models/blackbox.py:299-364): prior-weighted
+``np.random.choice`` without replacement per mask, per-mask skimage resize
+with a random crop shift, and numpy blending.  Here the whole pipeline is
+jittable jnp: without-replacement sampling is the Gumbel-top-k trick
+(distributionally exact for categorical sampling without replacement),
+upsampling is one batched bilinear resize, shifting is a vmapped
+dynamic-slice, and blending/preprocessing fuse into the scoring forward.
+
+Known divergences from the reference (documented, tolerance-level):
+  * JAX PRNG, not numpy MT19937 — seeded notebook goldens can't bit-match.
+  * jax.image.resize 'linear' vs skimage.transform.resize order=1
+    boundary handling.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_blur(img, sigma, truncate=4.0):
+    """skimage.filters.gaussian equivalent on device: separable gaussian,
+    'nearest' (edge) padding.  img: [..., H, W] or [H, W, C] with
+    channel_last=True handled by blurring the first two trailing spatial
+    axes explicitly."""
+    if sigma <= 0:
+        return img
+    radius = int(truncate * float(sigma) + 0.5)
+    xs = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (xs / float(sigma)) ** 2)
+    k = jnp.asarray(k / k.sum(), img.dtype)
+
+    def blur_axis(a, axis):
+        a = jnp.moveaxis(a, axis, -1)
+        shp = a.shape
+        flat = a.reshape(-1, shp[-1])
+        padded = jnp.pad(flat, ((0, 0), (radius, radius)), mode="edge")
+        out = jax.vmap(lambda r: jnp.convolve(r, k, mode="valid"))(padded)
+        return jnp.moveaxis(out.reshape(shp), -1, axis)
+
+    # Blur the two spatial axes: [H,W], [H,W,C] (channel-last) or [N,H,W].
+    if img.ndim == 2 or (img.ndim == 3 and img.shape[-1] in (1, 3, 4)):
+        return blur_axis(blur_axis(img, 0), 1)
+    return blur_axis(blur_axis(img, 1), 2)
+
+
+def resize_bilinear(img, shape):
+    """jax.image.resize linear wrapper (non-interpolated leading dims)."""
+    out_shape = img.shape[:img.ndim - len(shape)] + tuple(shape)
+    return jax.image.resize(img, out_shape, method="linear")
+
+
+def prior_to_grid(prior, mask_scale, prior_type="mean_ebp", pct=50.0):
+    """Prior map [H,W] -> normalized sampling grid [gh,gw]
+    (reference: blackbox.py:299-318): downscale with anti-aliasing, clip
+    below the pct-percentile to zero, optionally binarize (uniform prior),
+    normalize to a distribution."""
+    h, w = prior.shape
+    gh = int(math.ceil(h / mask_scale))
+    gw = int(math.ceil(w / mask_scale))
+    # anti-aliased downscale (skimage recipe: gaussian with
+    # sigma=(factor-1)/2, then interpolate)
+    factor = max(h / gh, w / gw)
+    sig = max(0.0, (factor - 1) / 2.0)
+    blurred = gaussian_blur(jnp.asarray(prior, jnp.float32), sig)
+    grid = resize_bilinear(blurred, (gh, gw))
+
+    threshold = jnp.percentile(grid, pct)
+    grid = jnp.where(grid < threshold, 0.0, grid)
+    if prior_type == "uniform":
+        grid = (grid > 0).astype(jnp.float32)
+    return grid / jnp.sum(grid)
+
+
+def sample_sparse_grids(key, grid_probs, num_masks, num_elements):
+    """[num_masks, gh, gw] binary grids with ``num_elements`` zeros each,
+    cells chosen without replacement with probability proportional to
+    ``grid_probs`` (Gumbel-top-k; reference: blackbox.py:320-323)."""
+    gh, gw = grid_probs.shape
+    logp = jnp.where(grid_probs > 0, jnp.log(grid_probs), -jnp.inf)
+    gumbel = jax.random.gumbel(key, (num_masks, gh * gw), jnp.float32)
+    _, idx = jax.lax.top_k(logp.reshape(1, -1) + gumbel, num_elements)
+    hit = jax.nn.one_hot(idx, gh * gw, dtype=jnp.float32).sum(axis=1)
+    return (1.0 - hit).reshape(num_masks, gh, gw)
+
+
+def upsample_shift_masks(key, grids, input_size, mask_scale,
+                         random_shift=True):
+    """Bilinear-upsample binary grids to (input+scale)^2 and crop a randomly
+    shifted input_size window (reference: blackbox.py:325-336)."""
+    n, gh, gw = grids.shape
+    hh, ww = input_size[0] + mask_scale, input_size[1] + mask_scale
+    big = resize_bilinear(grids, (hh, ww))
+    if not random_shift:
+        return resize_bilinear(grids, tuple(input_size))
+    shifts = jax.random.randint(key, (n, 2), 0, mask_scale)
+
+    def crop(m, s):
+        return jax.lax.dynamic_slice(m, (s[0], s[1]), tuple(input_size))
+
+    return jax.vmap(crop)(big, shifts)
+
+
+def make_masks(key, prior, num_masks, mask_scale, num_elements,
+               prior_type="mean_ebp", random_shift=True):
+    """Full mask pipeline: prior [H,W] -> masks [N,H,W] float in [0,1]."""
+    kg, ks = jax.random.split(jnp.asarray(key))
+    grid_probs = prior_to_grid(prior, mask_scale, prior_type)
+    grids = sample_sparse_grids(kg, grid_probs, num_masks, num_elements)
+    return upsample_shift_masks(ks, grids, prior.shape, mask_scale,
+                                random_shift)

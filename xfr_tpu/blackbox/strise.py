@@ -1,0 +1,423 @@
+"""STRise: prior-guided sparse-mask blackbox saliency
+(reference: python/xfr/models/blackbox.py:110-479).
+
+TPU-native pipeline: mask sampling, upsampling/shifting, filling, blending,
+embedding and triplet scoring all run on device; only user-supplied
+``black_box_fn`` callables (score-only external matchers, e.g. PittPatt via
+subprocess, blackbox.py:83-107) pull masked probes back to host.
+
+For the built-in resnet black boxes, the reference embeds all masked probes
+twice (once vs refs, once vs gallery, blackbox.py:396-414); here masked
+probes are embedded once and scored against both galleries in the same
+jitted chunk, halving the dominant cost.
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xfr_tpu.blackbox import masks as M
+from xfr_tpu.utils.image import center_crop
+
+
+def print_flush(s, file=sys.stdout, flush=True):
+    file.write(s + "\n")
+    if flush:
+        file.flush()
+
+
+class STRise:
+    """Blackbox saliency via sparse prior-guided mask perturbation.
+
+    Constructor surface mirrors the reference (blackbox.py:110-262);
+    ``use_gpu``/``device`` are accepted and ignored (JAX owns placement).
+    Extra knobs: ``seed`` (JAX PRNG key; the reference uses the global numpy
+    RNG), ``batch_size`` (embedding chunk), ``net_dict`` (share Whitebox
+    instances across calls like utils.create_net's cache).
+    """
+
+    def __init__(self,
+                 probe=None,
+                 refs=None,
+                 ref_sids=None,
+                 potential_gallery=None,
+                 gallery=None,
+                 gallery_size=50,
+                 black_box=None,
+                 black_box_fn=None,
+                 prior_type="mean_ebp",
+                 mask_type="sparse",
+                 num_mask_elements=1,
+                 num_masks=6500,
+                 mask_scale=12,
+                 mask_fill_type="blur",
+                 blur_fill_sigma_percent=4,
+                 triplet_score_type="cts",
+                 use_gpu=True,
+                 device=None,
+                 seed=0,
+                 batch_size=256,
+                 net_dict=None):
+        self.priors = {"mean_ebp": self.mean_ebp_prior,
+                       "uniform": self.uniform_prior}
+        self.black_boxes = {"resnetv4_pytorch": self.resnet_bb_fn,
+                            "resnetv6_pytorch": self.resnet_bb_fn}
+        self.mask_types = {"sparse": self.generate_sparse_masks}
+        self.mask_fill_types = {"gray": self.mask_fill_gray,
+                                "blur": self.mask_fill_blur}
+        self.triplet_scoring_fns = {
+            "cts": self.contrastive_triplet_similarity}
+
+        self.blur_fill_sigma_percent = blur_fill_sigma_percent
+        self._net_dict = net_dict if net_dict is not None else {}
+        self.mean_ebp_net = None
+        self.resnet_net = None
+        self._key = jax.random.PRNGKey(seed)
+        self.batch_size = batch_size
+
+        # probe / refs (blackbox.py:163-176)
+        if probe is not None and refs is not None:
+            if isinstance(probe, (str, np.ndarray)):
+                self.probe = center_crop(probe, convert_uint8=True)
+            else:
+                raise ValueError(
+                    "Probe must be a filepath to an image or a NumPy array")
+            if isinstance(refs, (list, np.ndarray)) or _is_dataframe(refs):
+                self.refs = refs
+            else:
+                raise ValueError("Refs must be a list of filepaths, NumPy "
+                                 "arrays, or a Pandas dataframe")
+            self.ref_sids = ref_sids
+        else:
+            raise ValueError("Probe and reference must be specified")
+
+        if prior_type is None or prior_type not in self.priors:
+            raise ValueError(
+                'Specified prior "{}" is not supported'.format(prior_type))
+        self.prior_type = prior_type
+
+        self.potential_gallery = potential_gallery
+        if potential_gallery is not None:
+            self.potential_gallery_size = _collection_size(potential_gallery)
+
+        self.gallery = gallery
+        self.gallery_size = (_collection_size(gallery)
+                             if gallery is not None else gallery_size)
+
+        if black_box:
+            self.set_black_box(black_box)
+        elif black_box_fn:
+            self.black_box = None
+            self.black_box_fn = black_box_fn
+        else:
+            raise ValueError("Black box name or function must be specified")
+
+        if mask_type not in self.mask_types:
+            raise ValueError(
+                'Specified mask type "{}" is not supported'.format(mask_type))
+        self.mask_type = mask_type
+        self.generate_masks = self.mask_types[mask_type]
+
+        if mask_fill_type not in self.mask_fill_types:
+            raise ValueError('Specified mask fill type "{}" is not '
+                             "supported".format(mask_fill_type))
+        self.mask_fill_type = mask_fill_type
+        self.apply_masks = self.mask_fill_types[mask_fill_type]
+
+        self.num_mask_elements = num_mask_elements
+        self.num_masks = num_masks
+        self.mask_scale = mask_scale
+
+        if triplet_score_type not in self.triplet_scoring_fns:
+            raise ValueError('Specified triplet score type "{}" is not '
+                             "supported.".format(triplet_score_type))
+        self.triplet_score_type = triplet_score_type
+        self.triplet_scoring_fn = self.triplet_scoring_fns[triplet_score_type]
+
+    # -- configuration ----------------------------------------------------
+
+    def set_probe(self, probe):
+        if isinstance(probe, (str, np.ndarray)):
+            self.probe = center_crop(probe, convert_uint8=False)
+        else:
+            raise ValueError(
+                "Probe must be a filepath to an image or a NumPy array")
+        self.original_probe_gallery_scores = None
+
+    def set_black_box(self, black_box):
+        if black_box not in self.black_boxes:
+            raise ValueError('Specified black box "{}" is not supported'
+                             .format(black_box))
+        self.black_box = black_box
+        self.black_box_fn = self.black_boxes[black_box]
+
+    def _get_net(self, name, ebp_version=None):
+        key = (name, ebp_version)
+        if key not in self._net_dict:
+            from xfr_tpu.models import create_wbnet
+            self._net_dict[key] = create_wbnet(name,
+                                               ebp_version=ebp_version)
+        return self._net_dict[key]
+
+    # -- step 1: prior (blackbox.py:280-297) --------------------------------
+
+    def mean_ebp_prior(self):
+        if not self.mean_ebp_net:
+            self.mean_ebp_net = self._get_net("resnetv4_pytorch")
+        wb = self.mean_ebp_net
+        from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
+        probe = preprocess_resnet101_batch(
+            np.asarray(self.probe, np.float32)[None])
+        n = wb.net.num_classes()
+        Pn = jnp.ones((1, n), jnp.float32) / n
+        P = wb.ebp(probe, Pn)
+        self.prior = np.asarray(M.resize_bilinear(
+            jnp.asarray(P, jnp.float32), (224, 224)))
+
+    def uniform_prior(self):
+        # The reference leaves self.prior untouched (blackbox.py:296); the
+        # usable semantic is an everywhere-uniform sampling grid.
+        if not hasattr(self, "prior"):
+            self.prior = np.ones((224, 224), np.float32)
+
+    # -- step 2: masks -------------------------------------------------------
+
+    def generate_sparse_masks(self, random_shift=True, order=1):
+        self._key, sub = jax.random.split(self._key)
+        self._masks_dev = M.make_masks(
+            sub, jnp.asarray(self.prior, jnp.float32), self.num_masks,
+            self.mask_scale, self.num_mask_elements,
+            prior_type=self.prior_type, random_shift=random_shift)
+        self._masks_np = None
+
+    @property
+    def masks(self):
+        if getattr(self, "_masks_np", None) is None:
+            self._masks_np = np.asarray(self._masks_dev)
+        return self._masks_np
+
+    # -- step 3: fill (blackbox.py:338-364) ----------------------------------
+
+    def mask_fill_gray(self):
+        # NB: replicates the reference quirk: fill is 0.5 on the 0..255
+        # uint8 probe scale, i.e. near-black (blackbox.py:347-349).
+        self._fill_dev = jnp.full(self.probe.shape, 0.5, jnp.float32)
+
+    def mask_fill_blur(self):
+        sigma = self.blur_fill_sigma_percent / 100.0 * max(self.probe.shape)
+        self._fill_dev = M.gaussian_blur(
+            jnp.asarray(self.probe, jnp.float32), sigma)
+
+    def masked_probes_np(self, indices=None):
+        """Materialize masked probes [k,H,W,C] on host (for external
+        black_box_fn or visualization)."""
+        m = self._masks_dev if indices is None else self._masks_dev[indices]
+        probe = jnp.asarray(self.probe, jnp.float32)
+        blends = m[..., None] * probe + (1.0 - m[..., None]) * self._fill_dev
+        return np.asarray(blends)
+
+    @property
+    def masked_probes(self):
+        return self.masked_probes_np()
+
+    # -- step 4: scoring (blackbox.py:366-414) -------------------------------
+
+    def resnet_bb_fn(self, probes, gallery):
+        """Built-in resnet scorer for host-side inputs (API parity with
+        blackbox.py:366-388).  The hot masked-probe path uses the fused
+        device scorer instead."""
+        if not self.resnet_net:
+            self.resnet_net = self._get_net(self.black_box, ebp_version=6)
+        wb = self.resnet_net
+        gal_vecs = self._embed_collection(wb, gallery)
+        probe_vecs = self._embed_collection(wb, probes)
+        return _l2_similarity(probe_vecs, gal_vecs)
+
+    def _embed_collection(self, wb, images):
+        from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
+        if isinstance(images, np.ndarray) and images.ndim == 4 and \
+                images.shape[-1] == 3:
+            images = preprocess_resnet101_batch(
+                jnp.asarray(images, jnp.float32))
+        elif isinstance(images, (list, tuple)) and len(images) and \
+                isinstance(images[0], np.ndarray) and images[0].ndim == 3 \
+                and images[0].shape[2] == 3:
+            images = preprocess_resnet101_batch(
+                jnp.asarray(np.stack(images), jnp.float32))
+        return wb.embeddings(images)
+
+    def _fused_scorer(self):
+        """jitted chunk scorer: masks chunk -> blend -> preprocess ->
+        encode -> similarity vs refs+gallery embeddings.  Cached per
+        instance — rebuilding would retrigger XLA compilation."""
+        if getattr(self, "_fused_scorer_fn", None) is not None:
+            return self._fused_scorer_fn
+        from xfr_tpu.ebp import interpreter as I
+        from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
+
+        wb = self.resnet_net
+        graph, enc = wb.net.graph, wb.net.encode_tensor
+
+        @jax.jit
+        def score_chunk(params, masks, probe, fill, ref_e, gal_e):
+            blends = (masks[..., None] * probe +
+                      (1.0 - masks[..., None]) * fill)
+            x = preprocess_resnet101_batch(blends)
+            values = I.forward_clean(graph, params, x)
+            e = values[enc].reshape(masks.shape[0], -1)
+            e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+            ref_s = 1.0 - 0.5 * jnp.linalg.norm(
+                e[:, None, :] - ref_e[None], axis=2)
+            gal_s = 1.0 - 0.5 * jnp.linalg.norm(
+                e[:, None, :] - gal_e[None], axis=2)
+            return ref_s, gal_s
+
+        self._fused_scorer_fn = score_chunk
+        return score_chunk
+
+    def score_masks(self):
+        builtin = self.black_box in self.black_boxes if self.black_box \
+            else False
+
+        if builtin:
+            if not self.resnet_net:
+                self.resnet_net = self._get_net(self.black_box,
+                                                ebp_version=6)
+            wb = self.resnet_net
+            ref_e = self._embed_collection(wb, self.refs)
+            gal_e = self._embed_collection(wb, self.gallery)
+            self.original_probe_ref_scores = _l2_similarity(
+                self._embed_collection(wb, [self.probe]), ref_e)
+            self.original_probe_gallery_scores = _l2_similarity(
+                self._embed_collection(wb, [self.probe]), gal_e)
+
+            scorer = self._fused_scorer()
+            probe = jnp.asarray(self.probe, jnp.float32)
+            ref_e_d = jnp.asarray(ref_e, jnp.float32)
+            gal_e_d = jnp.asarray(gal_e, jnp.float32)
+            n, bs = self.num_masks, self.batch_size
+            ref_chunks, gal_chunks = [], []
+            pad = (-n) % bs
+            masks = self._masks_dev
+            if pad:
+                masks = jnp.concatenate(
+                    [masks, jnp.zeros((pad,) + masks.shape[1:],
+                                      masks.dtype)])
+            for i in range(0, n + pad, bs):
+                rs, gs = scorer(wb.net.params, masks[i:i + bs], probe,
+                                self._fill_dev, ref_e_d, gal_e_d)
+                # keep on device: dispatches pipeline asynchronously
+                ref_chunks.append(rs)
+                gal_chunks.append(gs)
+            self.masked_probe_ref_scores = np.asarray(
+                jnp.concatenate(ref_chunks))[:n]
+            self.masked_probe_gallery_scores = np.asarray(
+                jnp.concatenate(gal_chunks))[:n]
+        else:
+            # external score-only matcher: host round-trip in chunks
+            self.original_probe_ref_scores = self.black_box_fn(
+                [self.probe], self.refs)
+            if getattr(self, "original_probe_gallery_scores", None) is None:
+                self.original_probe_gallery_scores = self.black_box_fn(
+                    [self.probe], self.gallery)
+            mp = self.masked_probes_np()
+            self.masked_probe_ref_scores = self.black_box_fn(mp, self.refs)
+            self.masked_probe_gallery_scores = self.black_box_fn(
+                mp, self.gallery)
+
+        self.mask_scores = self.triplet_scoring_fn()
+
+    def contrastive_triplet_similarity(self):
+        """cts = mean((origRef - maskRef) - (origGal - maskGal))
+        (reference: blackbox.py:390-394)."""
+        ref_scores = (self.original_probe_ref_scores -
+                      self.masked_probe_ref_scores)
+        gallery_scores = (self.original_probe_gallery_scores -
+                          self.masked_probe_gallery_scores)
+        return (ref_scores - gallery_scores).mean(axis=1)
+
+    # -- step 5: combine (blackbox.py:416-447) -------------------------------
+
+    @staticmethod
+    @jax.jit
+    def _combine(masks, weights, selected):
+        """mean over selected of weight*mask, fixed shapes (no gather)."""
+        w = weights * selected
+        return jnp.einsum("n,nhw->hw", w, masks) / jnp.sum(selected)
+
+    def combine_masks(self, indices):
+        indices = np.asarray(indices)
+        if indices.dtype != bool:
+            sel = np.zeros(self.num_masks, bool)
+            sel[indices] = True
+            indices = sel
+        return np.asarray(self._combine(
+            self._masks_dev, jnp.asarray(self.mask_scores, jnp.float32),
+            jnp.asarray(indices, jnp.float32)))
+
+    def compute_saliency_map(self, positive_scores=True, percentile=0):
+        sorted_idx = self.mask_scores.argsort()[::-1]
+        pos_sorted_idx = sorted_idx[self.mask_scores[sorted_idx] > 0]
+        neg_sorted_idx = sorted_idx[self.mask_scores[sorted_idx] < 0][::-1]
+
+        if positive_scores:
+            threshold = np.percentile(self.mask_scores[pos_sorted_idx],
+                                      percentile)
+            selected = self.mask_scores >= threshold
+            saliency_map = 1.0 - self.combine_masks(selected)
+        else:
+            threshold = np.percentile(-self.mask_scores[neg_sorted_idx],
+                                      percentile)
+            selected = -self.mask_scores >= threshold
+            saliency_map = self.combine_masks(selected) - 1.0
+
+        saliency_map -= saliency_map.min()
+        saliency_map /= saliency_map.max()
+        self.saliency_map = saliency_map
+
+    # -- driver (blackbox.py:450-479) ----------------------------------------
+
+    def evaluate(self):
+        steps = 5
+        print_flush("1/{} Computing prior...".format(steps))
+        self.priors[self.prior_type]()
+        print_flush("2/{} Generating masks...".format(steps))
+        self.generate_masks()
+        print_flush("3/{} Applying masks...".format(steps))
+        self.apply_masks()
+        print_flush("4/{} Scoring masks...".format(steps))
+        self.score_masks()
+        print_flush("5/{} Computing saliency map...".format(steps))
+        self.compute_saliency_map()
+        print_flush("Finished!")
+
+
+def _is_dataframe(x):
+    try:
+        import pandas as pd
+        return isinstance(x, pd.DataFrame)
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _collection_size(x):
+    if isinstance(x, list):
+        return len(x)
+    if isinstance(x, np.ndarray):
+        return x.shape[0]
+    if _is_dataframe(x):
+        return len(x.index)
+    raise TypeError("collection must be a list of filepaths, NumPy arrays, "
+                    "or a Pandas dataframe")
+
+
+def _l2_similarity(x, y):
+    """1 - 0.5*||x_hat - y_hat|| pairwise (reference: blackbox.py:385)."""
+    xn = x / np.linalg.norm(x, axis=1)[:, None]
+    yn = y / np.linalg.norm(y, axis=1)[:, None]
+    return 1.0 - 0.5 * np.linalg.norm(xn[:, None] - yn[None], axis=2)
