@@ -1,0 +1,128 @@
+"""Inpainting-game protocol tests with a synthetic patch-identity embedder."""
+
+import numpy as np
+import pytest
+
+from xfr_tpu.inpainting_game import (
+    HidingGame, classified_as_inpainted_twin, create_threshold_masks,
+    intersect_over_union_thresholded_saliency)
+
+PCT = np.arange(0, 101)
+
+
+def test_percent_density_masks_cover_mass():
+    rng = np.random.RandomState(0)
+    smap = rng.rand(32, 32) ** 3
+    smap /= smap.sum()
+    masks = create_threshold_masks(smap, "percent-density",
+                                   percentiles=PCT, seed=0)
+    assert masks.shape == (101, 32, 32)
+    assert masks[0].sum() == 0          # 0% of mass
+    assert masks[-1].all()              # 100% of mass
+    # nested: each mask contains the previous
+    for t in range(1, 101):
+        assert np.all(masks[t] >= masks[t - 1])
+    # mass covered by mask t ~= t percent
+    for t in (10, 50, 90):
+        mass = smap[masks[t]].sum() / smap.sum()
+        assert abs(mass * 100 - t) < 1.5, (t, mass)
+
+
+def test_percent_density_exclude_zero_elements():
+    smap = np.zeros((16, 16))
+    smap[:4, :4] = 1.0
+    masks = create_threshold_masks(smap, "percent-density",
+                                   percentiles=PCT, seed=0,
+                                   include_zero_elements=False)
+    # masks can never extend beyond the nonzero support except at 100%
+    support = smap > 0
+    for t in range(0, 100):
+        assert not masks[t][~support].any(), t
+
+
+class _PatchNet:
+    """Identity evidence = mean of the 8x8 top-left patch (CHW inputs)."""
+
+    def embeddings(self, images, norm=True):
+        images = np.asarray(images)
+        patch = images[:, :, :8, :8].mean(axis=(1, 2, 3))
+        e = np.stack([patch, np.ones_like(patch)], axis=1)
+        if norm:
+            e = e / np.linalg.norm(e, axis=1, keepdims=True)
+        return e
+
+
+def _norm(v):
+    v = np.asarray(v, np.float64)
+    return v / np.linalg.norm(v)
+
+
+def test_classified_as_inpainted_twin_flip_order():
+    orig = np.zeros((3, 32, 32))
+    orig[:, :8, :8] = 1.0        # bright identity patch
+    twin = np.zeros((3, 32, 32))  # inpainted: patch removed
+
+    og = _norm([1.0, 1.0])
+    ig = _norm([0.0, 1.0])
+
+    focused = np.zeros((32, 32))
+    focused[:8, :8] = 1.0        # saliency on the evidence
+    uniform = np.ones((32, 32))
+
+    net = _PatchNet()
+    cls_f, _, _, _, masks_f = classified_as_inpainted_twin(
+        net, orig, twin, og, ig, focused, "percent-density",
+        percentiles=PCT, seed=0, return_transitions=True)
+    cls_u, _, _, _, masks_u = classified_as_inpainted_twin(
+        net, orig, twin, og, ig, uniform, "percent-density",
+        percentiles=PCT, seed=0, return_transitions=True)
+
+    assert not cls_f[0] and not cls_u[0]
+    assert cls_f[-1] and cls_u[-1]  # full inpainting flips identity
+    # percent-density allocates by saliency MASS; the discriminating
+    # quantity is how much image AREA must be replaced before the flip.
+    area_f = masks_f[np.argmax(cls_f)].mean()
+    area_u = masks_u[np.argmax(cls_u)].mean()
+    assert area_f < 0.1 and area_u > 0.3, (area_f, area_u)
+
+
+def test_twin_assertion_on_bad_gallery():
+    orig = np.ones((3, 16, 16))
+    twin = np.zeros((3, 16, 16))
+    net = _PatchNet()
+    with pytest.raises(AssertionError):
+        # swapped galleries: mask-0 blend already "twin"
+        classified_as_inpainted_twin(
+            net, orig, twin, _norm([0.0, 1.0]), _norm([1.0, 1.0]),
+            np.ones((16, 16)), "percent-density", percentiles=PCT, seed=0)
+
+
+def test_iou_thresholded_saliency():
+    gt = np.zeros((20, 20), bool)
+    gt[5:10, 5:10] = True
+    smap = gt.astype(np.float64)  # perfect saliency
+    iou, fpos, tpos = intersect_over_union_thresholded_saliency(
+        smap, gt, "percent-density", percentiles=PCT, seed=0,
+        return_fpos=True, return_tpos=True)
+    assert iou.shape == (101,)
+    assert iou.max() > 0.95          # at the matching mass, IoU ~ 1
+    assert fpos[iou.argmax()] <= 1
+    assert tpos[-1] == gt.sum()
+
+
+def test_hiding_game_runs():
+    rng = np.random.RandomState(0)
+    smap = rng.rand(16, 16)
+    img = rng.rand(16, 16, 3)
+
+    def masking_fn(masks, image):
+        return masks[..., None] * image[None]
+
+    def scoring_fn(masked):
+        return masked.mean(axis=(1, 2, 3))
+
+    hg = HidingGame(smap, img, masking_fn, scoring_fn, delta_pct=10.0)
+    pcts, scores = hg.evaluate()
+    assert len(pcts) == len(scores) == 11
+    # hiding more of the image monotonically removes mass
+    assert scores[0] >= scores[-1]

@@ -544,15 +544,17 @@ class Whitebox:
             imagesT = jnp.stack([
                 self.convert_from_numpy(im)[0]
                 for im in dataframe_image_loader(images)])
+        elif len(images) and isinstance(images[0], (np.ndarray, jnp.ndarray)) \
+                and images[0].ndim == 3 and images[0].shape[0] in (1, 3):
+            # already in network format (reference: whitebox.py:755-762)
+            imagesT = jnp.stack([jnp.asarray(im, jnp.float32)
+                                 for im in images])
         else:
-            ims = []
-            for im in images:
-                if isinstance(im, (np.ndarray, jnp.ndarray)) and im.ndim == 3 \
-                        and im.shape[0] in (1, 3):
-                    ims.append(jnp.asarray(im, jnp.float32))
-                else:
-                    ims.append(self.convert_from_numpy(np.asarray(im))[0])
-            imagesT = jnp.stack(ims)
+            # file paths / displayable images -> loader + preprocess
+            from xfr_tpu.utils.image import image_loader
+            imagesT = jnp.stack([
+                self.convert_from_numpy(im)[0]
+                for im in image_loader(list(images))])
 
         n = imagesT.shape[0]
         bs = self.batch_size

@@ -1,0 +1,302 @@
+"""Inpainting-game saliency-map generation
+(reference: python/xfr/inpainting_game/generate_whitebox_saliency.py and
+generate_blackbox_saliency.py).
+
+Per (net, subject, image, mask_id): load the filtered triplet table, build
+mate/nonmate averaged encodings, set the 2-class triplet classifier, and
+write one saliency overlay png + npz per method under the reference's exact
+method-slug filename conventions (parsed back at analysis time).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import xfr_tpu
+from xfr_tpu.show import create_save_smap
+from xfr_tpu.utils.image import image_loader
+
+ORIG_PATTERN = ("aligned/{SUBJECT_ID}/{ORIGINAL_BASENAME}/inpainted/"
+                "{MASK_ID:05d}_truth.png")
+INPAINTED_PATTERN = ("aligned/{SUBJECT_ID}/{ORIGINAL_BASENAME}/inpainted/"
+                     "{MASK_ID:05d}_out_0.png")
+MASK_PATTERN = "aligned/{SUBJECT_ID}/{ORIGINAL_BASENAME}/masks/{MASK_ID:05d}.png"
+
+
+def shorten_subtree_mode(ebp_subtree_mode):
+    if ebp_subtree_mode == "affineonly_with_prior":
+        return "awp"
+    return ebp_subtree_mode
+
+
+def _avg_encodings(wb, im_mates, im_nonmates):
+    """Average + L2-normalize mate/nonmate encodings
+    (reference: generate_whitebox_saliency.py:85-98)."""
+    import jax.numpy as jnp
+
+    x_mates = jnp.concatenate([wb.convert_from_numpy(im) for im in im_mates])
+    x_nonmates = jnp.concatenate(
+        [wb.convert_from_numpy(im) for im in im_nonmates])
+    em = np.asarray(wb.encode(x_mates)).mean(axis=0)
+    en = np.asarray(wb.encode(x_nonmates)).mean(axis=0)
+    return em / np.linalg.norm(em), en / np.linalg.norm(en)
+
+
+def mean_ebp(wb, probe_im, net_name=None, ebp_version=None, device=None):
+    """Mean EBP over all classes (uniform output prior)
+    (reference: generate_whitebox_saliency.py:207-214)."""
+    import jax.numpy as jnp
+
+    x_probe = wb.convert_from_numpy(probe_im)
+    P = jnp.ones((1, wb.net.num_classes()), jnp.float32)
+    return wb.ebp(x_probe, P)
+
+
+def run_contrastive_triplet_ebp(wb, im_mates, im_nonmates, probe_im,
+                                truncate_percent, net_name=None,
+                                ebp_version=None, device=None):
+    """(Truncated-)contrastive triplet EBP
+    (reference: generate_whitebox_saliency.py:79-115)."""
+    avg_x_mate, avg_x_nonmate = _avg_encodings(wb, im_mates, im_nonmates)
+    img_probe = wb.convert_from_numpy(probe_im)
+    wb.net.set_triplet_classifier((1.0 / 2500.0) * avg_x_mate,
+                                  (1.0 / 2500.0) * avg_x_nonmate)
+    if truncate_percent is None:
+        return wb.contrastive_ebp(img_probe, k_poschannel=0, k_negchannel=1)
+    return wb.truncated_contrastive_ebp(
+        img_probe, k_poschannel=0, k_negchannel=1,
+        percentile=truncate_percent)
+
+
+# ebp_version -> weighted-subtree flags
+# (reference: generate_whitebox_saliency.py:148-195, whitebox.py:267-271)
+_WSEBP_FLAGS = {
+    7: dict(do_max_subtree=True, do_mated_similarity_gating=True),
+    8: dict(do_max_subtree=False, do_mated_similarity_gating=True),
+    9: dict(do_max_subtree=True, do_mated_similarity_gating=False),
+    10: dict(do_max_subtree=True, do_mated_similarity_gating=True),
+    11: dict(do_max_subtree=True, do_mated_similarity_gating=True),
+    12: dict(do_max_subtree=False, do_mated_similarity_gating=True),
+}
+
+
+def run_weighted_subtree_triplet_ebp(wb, im_mates, im_nonmates, probe_im,
+                                     subtree_mode_weighted, topk=1,
+                                     net_name=None, ebp_version=None,
+                                     device=None, max_candidates=None):
+    """Weighted-subtree triplet EBP
+    (reference: generate_whitebox_saliency.py:119-205)."""
+    avg_x_mate, avg_x_nonmate = _avg_encodings(wb, im_mates, im_nonmates)
+    img_probe = wb.convert_from_numpy(probe_im)
+    wb.net.set_triplet_classifier(avg_x_mate, avg_x_nonmate)
+
+    flags = _WSEBP_FLAGS.get(ebp_version,
+                             dict(do_max_subtree=False,
+                                  do_mated_similarity_gating=False))
+    img_subtree, _, _, _ = wb.weighted_subtree_ebp(
+        img_probe, k_poschannel=0, k_negchannel=1, topk=topk,
+        subtree_mode=subtree_mode_weighted, verbose=False,
+        max_candidates=max_candidates, **flags)
+    return img_subtree
+
+
+def _load_triplet(net_name, subj_id, mask_id, img_base, data_dir=None):
+    """Read the filtered-masks CSV and resolve file lists
+    (reference: generate_whitebox_saliency.py:244-286)."""
+    import pandas as pd
+
+    data_dir = data_dir or xfr_tpu.inpaintgame2_dir
+    orig_image_pattern = os.path.join(data_dir, ORIG_PATTERN)
+    inpainted_image_pattern = os.path.join(data_dir, INPAINTED_PATTERN)
+    mask_pattern = os.path.join(data_dir, MASK_PATTERN)
+
+    data = pd.read_csv(os.path.join(
+        data_dir,
+        "filtered_masks_threshold-{NET}.csv".format(NET=net_name)))
+    data = data.loc[(data["MASK_ID"] == int(mask_id)) &
+                    (data["SUBJECT_ID"] == int(subj_id))]
+
+    probe_rows, probes, mates, nonmates = [], [], [], []
+    probe_masks = []
+    for _, row in data.iterrows():
+        d = row.to_dict()
+        f = orig_image_pattern.format(**d)
+        fm = mask_pattern.format(**d)
+        finp = inpainted_image_pattern.format(**d)
+        if os.path.exists(f):
+            if d["TRIPLET_SET"] == "REF":
+                mates.append(f)
+            elif d["ORIGINAL_BASENAME"] == img_base:
+                probe_rows.append(row)
+                probes.append(f)
+                probe_masks.append(fm)
+        else:
+            print("Original file %s does not exist!" % f)
+        if d["TRIPLET_SET"] == "REF":
+            assert os.path.exists(finp)
+            nonmates.append(finp)
+
+    assert len(probes) == 1
+    return pd.DataFrame(probe_rows), probes, probe_masks, mates, nonmates
+
+
+def generate_wb_smaps(wb, net_name, img_base, subj_id, mask_id,
+                      subtree_mode_weighted, ebp_ver, overwrite,
+                      device=None, method=None, wsebp_max_candidates=None,
+                      data_dir=None, smaps_dir=None):
+    """Generate all whitebox method maps for one (net, subject, image, mask)
+    (reference: generate_whitebox_saliency.py:222-417)."""
+    subject_id = subj_id
+    data_dir = data_dir or xfr_tpu.inpaintgame2_dir
+    smaps_dir = smaps_dir or xfr_tpu.inpaintgame_saliencymaps_dir
+    cropped_data_dir = os.path.join(data_dir,
+                                    "aligned/{}".format(subject_id))
+    multiprobe_data_dir = os.path.join(
+        smaps_dir,
+        "{}/subject_ID_{}".format(net_name, subject_id))
+
+    probe_data, probes, probe_masks, mates, nonmates = _load_triplet(
+        net_name, subject_id, mask_id, img_base, data_dir=data_dir)
+    im_mates = list(image_loader(mates))
+    im_nonmates = list(image_loader(nonmates))
+
+    dev_tag = "cpu" if device is None else str(device)
+
+    for (probe_im, probe_fn), probe_mask_fn, (_, probe_row) in zip(
+            image_loader(probes, returnFileName=True), probe_masks,
+            probe_data.iterrows()):
+        extra_dirs = os.path.split(
+            os.path.relpath(probe_fn, cropped_data_dir))[0]
+        output_dir = os.path.join(multiprobe_data_dir, extra_dirs)
+        os.makedirs(output_dir, exist_ok=True)
+        mask_im = next(iter(image_loader([probe_mask_fn])))
+
+        result_calculated = False
+        if method is None or method == "meanEBP":
+            result_calculated = True
+            fn = "meanEBP_mode=%s_v%02d_%s" % (
+                shorten_subtree_mode(wb.ebp_subtree_mode()), ebp_ver,
+                dev_tag)
+            create_save_smap(
+                fn, output_dir, overwrite,
+                smap_fn=lambda: mean_ebp(wb, probe_im,
+                                         ebp_version=ebp_ver),
+                probe_im=probe_im, probe_info=probe_row, mask_im=mask_im,
+                mask_id=mask_id)
+
+        if method is None or method == "contrastive":
+            result_calculated = True
+            for truncate_percent in [None, 20]:
+                if truncate_percent is None:
+                    fn = "contrastive_triplet_ebp_mode=%s_v%02d_%s" % (
+                        shorten_subtree_mode(wb.ebp_subtree_mode()),
+                        ebp_ver, dev_tag)
+                else:
+                    fn = ("trunc_contrastive_triplet_ebp_mode=%s_v%02d_"
+                          "pct%d_%s" % (
+                              shorten_subtree_mode(wb.ebp_subtree_mode()),
+                              ebp_ver, truncate_percent, dev_tag))
+                create_save_smap(
+                    fn, output_dir, overwrite,
+                    smap_fn=lambda tp=truncate_percent:
+                        run_contrastive_triplet_ebp(
+                            wb, im_mates, im_nonmates, probe_im,
+                            truncate_percent=tp, ebp_version=ebp_ver),
+                    probe_im=probe_im, probe_info=probe_row,
+                    mask_im=mask_im, mask_id=mask_id)
+
+        if method is None or method == "weighted-subtree":
+            result_calculated = True
+            for topk in [32]:
+                fn = ("weighted_subtree_triplet_ebp_mode=%s,%s_v%02d_"
+                      "top%d_%s" % (
+                          shorten_subtree_mode(wb.ebp_subtree_mode()),
+                          shorten_subtree_mode(subtree_mode_weighted),
+                          ebp_ver, topk, dev_tag))
+                create_save_smap(
+                    fn, output_dir, overwrite,
+                    smap_fn=lambda tk=topk: run_weighted_subtree_triplet_ebp(
+                        wb, im_mates, im_nonmates, probe_im,
+                        subtree_mode_weighted=subtree_mode_weighted,
+                        topk=tk, ebp_version=ebp_ver,
+                        max_candidates=wsebp_max_candidates),
+                    probe_im=probe_im, probe_info=probe_row,
+                    mask_im=mask_im, mask_id=mask_id)
+
+        if not result_calculated:
+            raise RuntimeError(
+                "Unknown method type %s (valid types: 'meanEBP', "
+                "'contrastive', 'weighted-subtree')" % method)
+
+
+def create_bbox(blackbox_fn, probe_im, mates, nonmates, rise_scale,
+                num_mask_elements, mask_fill_type, blur_sigma_percent,
+                device=None, num_masks=6500, seed=0,
+                prior_type="mean_ebp"):
+    """STRise closure for one probe (reference:
+    generate_blackbox_saliency.py:48-73)."""
+    def bbox():
+        from xfr_tpu.blackbox import STRise
+
+        strise = STRise(
+            probe=probe_im, refs=mates, gallery=nonmates,
+            mask_scale=rise_scale, black_box_fn=blackbox_fn,
+            num_mask_elements=num_mask_elements,
+            mask_fill_type=mask_fill_type,
+            blur_fill_sigma_percent=blur_sigma_percent,
+            num_masks=num_masks, seed=seed, prior_type=prior_type)
+        strise.evaluate()
+        return strise.saliency_map
+    return bbox
+
+
+def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
+                      subj_id, mask_id, ebp_ver, overwrite, device=None,
+                      rise_scale=12, num_masks=6500, data_dir=None,
+                      smaps_dir=None, prior_type="mean_ebp"):
+    """Generate the blackbox RISE map for one (net, subject, image, mask)
+    (reference: generate_blackbox_saliency.py:76-227)."""
+    subject_id = subj_id
+    data_dir = data_dir or xfr_tpu.inpaintgame2_dir
+    smaps_dir = smaps_dir or xfr_tpu.inpaintgame_saliencymaps_dir
+    cropped_data_dir = os.path.join(data_dir,
+                                    "aligned/{}".format(subject_id))
+    multiprobe_data_dir = os.path.join(
+        smaps_dir,
+        "{}/subject_ID_{}".format(net_name, subject_id))
+
+    probe_data, probes, probe_masks, mates, nonmates = _load_triplet(
+        net_name, subject_id, mask_id, img_base, data_dir=data_dir)
+
+    for (probe_im, probe_fn), probe_mask_fn, (_, probe_row) in zip(
+            image_loader(probes, returnFileName=True), probe_masks,
+            probe_data.iterrows()):
+        extra_dirs = os.path.split(
+            os.path.relpath(probe_fn, cropped_data_dir))[0]
+        output_dir = os.path.join(multiprobe_data_dir, extra_dirs)
+        os.makedirs(output_dir, exist_ok=True)
+        mask_im = next(iter(image_loader([probe_mask_fn])))
+
+        mask_fill_type = "blur"
+        blur_sigma_percent = 4
+        for num_mask_elements in [2]:
+            t0 = time.time()
+            fn = "bbox-rise-%delem_%s=%d_scale_%s" % (
+                num_mask_elements, mask_fill_type, blur_sigma_percent,
+                rise_scale)
+            create_save_smap(
+                fn, output_dir, overwrite,
+                smap_fn=create_bbox(
+                    blackbox_fn=bb_score_fn, probe_im=probe_im,
+                    mates=mates, nonmates=nonmates, rise_scale=rise_scale,
+                    num_mask_elements=num_mask_elements,
+                    mask_fill_type=mask_fill_type,
+                    blur_sigma_percent=blur_sigma_percent,
+                    num_masks=num_masks, prior_type=prior_type),
+                probe_im=probe_im, mask_im=mask_im, mask_id=mask_id,
+                probe_info=probe_row)
+            dt = time.time() - t0
+            print("Time: %dm %fs" % (int(dt // 60), dt % 60))

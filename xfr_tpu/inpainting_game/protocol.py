@@ -1,0 +1,220 @@
+"""Inpainting-game core protocol
+(reference: python/xfr/inpainting_game/inpainting_game.py).
+
+Given a saliency map, build a family of binary masks at increasing
+saliency-mass thresholds ('percent-density'), blend the original probe
+toward its inpainted twin under each mask, embed all blends in one batched
+device call, and record at which threshold the matcher flips identity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def create_threshold_masks(saliency_map, threshold_method, percentiles=None,
+                           thresholds=None, seed=None, max_noise=1e-9,
+                           include_zero_elements=True, blur_sigma=None):
+    """Saliency map -> [T,H,W] boolean (or blurred float) masks
+    (reference: inpainting_game.py:12-77).
+
+    percent-density: mask t covers the top percentiles[t]% of total saliency
+    *mass* (CDF), the protocol standard (run_inpainting_game_eval.py:124).
+    Tie-breaking noise is seeded numpy, matching the reference exactly.
+    """
+    np.random.seed(seed)
+    if include_zero_elements:
+        nonzero_saliency = 1
+    else:
+        nonzero_saliency = saliency_map != 0
+
+    noisy = (saliency_map +
+             nonzero_saliency * np.random.rand(*saliency_map.shape)
+             * max_noise)
+    noisy = noisy / noisy.sum()
+
+    if threshold_method == "percent-density":
+        order = np.argsort(noisy.flat)
+        norm_cdf = np.cumsum(noisy.flat[order])
+        noisy.flat[order] = norm_cdf
+        noisy = noisy / noisy.max()  # float-error correction
+        thresholds = 1.0 - percentiles.astype(noisy.dtype) / 100
+        if percentiles[-1] == 100:
+            thresholds[-1] = 0
+    elif thresholds is None:
+        thresholds = np.percentile(noisy, 100 - percentiles)
+        if percentiles[0] == 0:
+            thresholds[0] = 1
+        if percentiles[-1] == 100:
+            thresholds[-1] = 0
+
+    # everything greater than threshold is inpainted
+    masks = noisy[np.newaxis, ...] > thresholds[:, np.newaxis, np.newaxis]
+
+    if blur_sigma is not None and blur_sigma > 0:
+        from xfr_tpu.utils.image import gaussian
+
+        masks = masks.astype(saliency_map.dtype)
+        for i in range(masks.shape[0]):
+            if percentiles[i] == 100:
+                continue
+            masks[i] = gaussian(
+                masks[i], blur_sigma * np.min(saliency_map.shape) / 100.0)
+    return masks
+
+
+def classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
+                                 original_gal_embed, inpaint_gal_embed,
+                                 saliency_map, mask_threshold_method,
+                                 include_zero_elements=True,
+                                 mask_blur_sigma=None, percentiles=None,
+                                 thresholds=None, seed=None,
+                                 binary_classification=True,
+                                 return_transitions=False):
+    """Blend probe -> twin under threshold masks, embed, and classify each
+    blend by nearest gallery centroid (reference: inpainting_game.py:80-146).
+
+    All blends embed in one batched call through snet.embeddings — the
+    reference's per-probe hot loop (inpainting_game.py:127-134).
+    """
+    masks = create_threshold_masks(
+        saliency_map, threshold_method=mask_threshold_method,
+        percentiles=percentiles, thresholds=thresholds, seed=seed,
+        include_zero_elements=include_zero_elements,
+        blur_sigma=mask_blur_sigma)
+
+    if original_imT.shape[0] == 1 or original_imT.shape[-1] != 3:
+        rgb_masks = masks[:, np.newaxis, ...]  # CHW (1 or C broadcast)
+    elif original_imT.shape[0] == 3 or original_imT.shape[-1] != 3:
+        rgb_masks = np.repeat(masks[:, np.newaxis, :, :], 3, axis=1)
+    else:
+        rgb_masks = np.repeat(masks[:, :, :, np.newaxis], 3, axis=-1)
+
+    original_imT = original_imT.astype(np.float64)
+    inpaint_imT = inpaint_imT.astype(np.float64)
+    blends = ((1.0 - rgb_masks) * original_imT[np.newaxis] +
+              rgb_masks * inpaint_imT[np.newaxis])
+
+    blend_embeds = snet.embeddings(blends.astype(np.float32))
+    blend_embeds = blend_embeds / np.linalg.norm(blend_embeds, axis=1,
+                                                 keepdims=True)
+
+    pr_dist = np.linalg.norm(blend_embeds - original_gal_embed, axis=1)
+    pg_dist = np.linalg.norm(blend_embeds - inpaint_gal_embed, axis=1)
+
+    classified_as_twin = pg_dist < pr_dist
+    assert not classified_as_twin[0], (
+        "mask-0 blend (pure original) already classifies as the twin")
+
+    if return_transitions:
+        return classified_as_twin, pg_dist, pr_dist, blends, masks
+    return classified_as_twin, pg_dist, pr_dist
+
+
+def intersect_over_union_thresholded_saliency(
+        saliency_map, ground_truth, mask_threshold_method, percentiles=None,
+        thresholds=None, seed=None, include_zero_elements=True,
+        return_fpos=False, return_tpos=False):
+    """IoU of thresholded saliency vs the inpainting region
+    (reference: inpainting_game.py:149-197)."""
+    ground_truth = ground_truth.astype(bool)
+    masks = create_threshold_masks(
+        saliency_map, threshold_method=mask_threshold_method,
+        percentiles=percentiles, thresholds=thresholds, seed=seed,
+        include_zero_elements=include_zero_elements)
+
+    intersection = ground_truth[np.newaxis] & masks
+    union = ground_truth[np.newaxis] | masks
+    iou = intersection.sum(axis=(1, 2)) / (union.sum(axis=(1, 2)) + 1e-9)
+    ret = (iou,)
+    if return_fpos:
+        false_pos = np.invert(ground_truth[np.newaxis]) & masks
+        ret += (np.sum(false_pos, axis=(1, 2)),)
+    if return_tpos:
+        ret += (np.sum(ground_truth[np.newaxis] & masks, axis=(1, 2)),)
+    return ret[0] if len(ret) == 1 else ret
+
+
+def ratio_mate_nonmate_saliency(saliency_mask, probe_mate_region,
+                                of_total=True):
+    """Saliency mass ratios in mated vs non-mated regions
+    (reference: inpainting_game.py:200-215)."""
+    smap_refpart = np.nansum(saliency_mask * probe_mate_region)
+    smap_nmpart = np.nansum(saliency_mask * (1.0 - probe_mate_region))
+    if not of_total:
+        smap_refpart /= np.nansum(probe_mate_region)
+        smap_nmpart /= np.nansum(1.0 - probe_mate_region)
+    else:
+        smap_refpart /= probe_mate_region.size
+        smap_nmpart /= probe_mate_region.size
+    return smap_refpart, smap_nmpart
+
+
+def hidinggame_mated_nonmated_regions(smaps, probe_mate_region,
+                                      percentiles=np.arange(0, 101),
+                                      add_noise=False, of_total=True):
+    """Hiding-game ratios across percentiles
+    (reference: inpainting_game.py:217-270)."""
+    percentiles = np.sort(percentiles)
+    refparts, nmparts = {}, {}
+    for type_, smap in smaps.items():
+        assert np.all(np.invert(np.isnan(smap)))
+        if add_noise:
+            smap = smap + np.random.rand(*smap.shape) * 1e-9
+        thresholds = np.percentile(
+            np.append(smap.flatten(), [0.0, 1.0]), 100.0 - percentiles,
+            method="higher")
+        refparts[type_], nmparts[type_] = [], []
+        for thresh, percentile in zip(thresholds, percentiles):
+            assert not np.isnan(thresh)
+            if not np.isclose(np.mean(smap > thresh) * 100, percentile,
+                              atol=1e-2):
+                raise RuntimeError(
+                    "Failed to find accurate threshold for the top %0.1f%% "
+                    "of saliency. This indicates that there is a portion of "
+                    "the saliency map with exactly the same value. "
+                    "Setting add_noise to True should prevent this."
+                    % percentile)
+            refpart, nmpart = ratio_mate_nonmate_saliency(
+                smap > thresh, probe_mate_region, of_total=of_total)
+            refparts[type_].append(refpart)
+            nmparts[type_].append(nmpart)
+    ref = {i: np.hstack(part) for i, part in refparts.items()}
+    nm = {i: np.hstack(part) for i, part in nmparts.items()}
+    return ref, nm, percentiles
+
+
+class HidingGame:
+    """Secondary benchmark: score decay as top-saliency pixels are hidden
+    (reference: inpainting_game.py:272-310)."""
+
+    def __init__(self, saliency_map, image, masking_fn, scoring_fn,
+                 hide_from_max=True, max_hidden_pct=100.0, delta_pct=1.0):
+        self.saliency_map = saliency_map
+        self.image = image
+        self.masking_fn = masking_fn
+        self.scoring_fn = scoring_fn
+        self.hide_from_max = hide_from_max
+        self.max_hidden_pct = max_hidden_pct
+        self.delta_pct = delta_pct
+        self.masks = None
+        self.scores = None
+
+    def generate_masks(self):
+        self.num_masks = int(self.max_hidden_pct / self.delta_pct + 1)
+        self.sampled_pcts = np.linspace(0, self.max_hidden_pct,
+                                        self.num_masks)
+        if self.hide_from_max:
+            thresholds = np.percentile(self.saliency_map,
+                                       self.sampled_pcts[::-1])
+        else:
+            thresholds = np.percentile(self.saliency_map, self.sampled_pcts)
+        self.masks = (self.saliency_map[..., np.newaxis] < thresholds)
+        self.masks = self.masks.transpose((2, 0, 1))
+        self.masked_images = self.masking_fn(self.masks, self.image)
+
+    def evaluate(self):
+        if self.masks is None:
+            self.generate_masks()
+        self.scores = self.scoring_fn(self.masked_images)
+        return self.sampled_pcts, self.scores

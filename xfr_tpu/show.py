@@ -1,0 +1,151 @@
+"""Saliency visualization and result writing
+(reference: python/xfr/show.py).
+
+jet-colormap overlay blending, TP/FP mask-overlap rendering, and the
+skip-if-exists saliency writer that makes generation runs resumable
+(the reference's job-level idempotency mechanism, show.py:208-210).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from xfr_tpu.utils.image import resize as _resize, gaussian as _gaussian
+
+__all__ = [
+    "blend_saliency_map",
+    "create_save_smap",
+    "plotMaskOverlap",
+    "processSaliency",
+    "ReturnComparison",
+    "savefig",
+]
+
+
+def savefig(fn, fig=None, npdata=None, output_dir=None, transparent=False):
+    import matplotlib.pyplot as plt
+
+    if output_dir is None:
+        output_dir = os.environ["PWEAVE_OUTPUT_DIR"]
+    fpath = os.path.join(output_dir, fn)
+    try:
+        os.remove(fpath)
+    except OSError:
+        pass
+    if fig is None:
+        plt.savefig(fpath, transparent=transparent)
+    else:
+        fig.savefig(fpath, transparent=transparent)
+    if npdata is not None:
+        np.savez(os.path.join(output_dir, os.path.splitext(fn)[0] + ".npz"),
+                 **npdata)
+
+
+def ReturnComparison(imgVec, attMaps, suppressMap=None, overlap=True,
+                     blur=False, blur_sigma=0.02, scale_factor=1.0,
+                     gamma=0.8):
+    """Overlay saliency maps on images via the jet colormap
+    (reference: show.py:88-129)."""
+    import matplotlib.pyplot as plt
+
+    if suppressMap is None:
+        suppressMap = np.zeros(len(imgVec))
+    out_maps = []
+    for i, img in enumerate(imgVec):
+        att = np.array(attMaps[i], np.float64, copy=True)
+        att -= att.min()
+        if att.max() > 0:
+            att /= att.max()
+            att = np.minimum(att, scale_factor)
+            att /= scale_factor
+        else:
+            suppressMap[i] = 1
+        att = _resize(att, img.shape[:2], order=3)
+        if blur:
+            att = _gaussian(att, blur_sigma * max(img.shape[:2]))
+            att -= att.min()
+            att /= att.max()
+        cmap = plt.get_cmap("jet")
+        att_v = np.delete(cmap(att), 3, 2)
+        if overlap:
+            att = (1 - att ** gamma).reshape(att.shape + (1,)) * img + \
+                (att ** gamma).reshape(att.shape + (1,)) * att_v
+        out_maps.append(att if suppressMap[i] == 0 else img)
+    return out_maps
+
+
+def blend_saliency_map(image, smap, blur=False, blur_sigma=0.02,
+                       scale_factor=1.0, gamma=0.8):
+    """Single-image overlay (reference: show.py:46-86)."""
+    return ReturnComparison([image], [smap], blur=blur,
+                            blur_sigma=blur_sigma, scale_factor=scale_factor,
+                            gamma=gamma)[0]
+
+
+def processSaliency(img, attMap):
+    """Normalize + resize saliency to image extents
+    (reference: show.py:131-137).
+
+    Robustness fix over the reference: bicubic upsampling overshoots can
+    make a (normalized, non-negative) map slightly negative at sharp
+    edges, which breaks the percent-density mass invariant downstream
+    (inpainting_game.py:65); clip the ringing."""
+    attMap = attMap - attMap.min()
+    attMap = attMap / (attMap.max() + 1e-9)
+    return np.maximum(_resize(attMap, img.shape[:2], order=3), 0.0)
+
+
+def plotMaskOverlap(img, mask, smap, method, output_dir, mask_id,
+                    percent_threshold=None):
+    """TP (green) / FP (red) / FN (gray) overlap rendering
+    (reference: show.py:139-178)."""
+    import imageio.v2 as imageio
+
+    if mask.ndim == 3:
+        mask = mask[:, :, 0]
+    mask = mask.astype(bool)
+    smap = smap + np.random.rand(*smap.shape) * 1e-9
+
+    if percent_threshold is None:
+        fname = "{}/{}-{METHOD}-maskOverlap{SUFFIX}.png".format(
+            output_dir, mask_id, METHOD=method, SUFFIX="{SUFFIX}")
+        pct = 100 - mask.mean() * 100
+    else:
+        fname = "{}/{}-{METHOD}-maskOverlap-thresh={thresh}{SUFFIX}.png" \
+            .format(output_dir, mask_id, METHOD=method,
+                    thresh=percent_threshold, SUFFIX="{SUFFIX}")
+        pct = 100 - percent_threshold
+    threshold = np.percentile(np.append(smap.flatten(), [0.0, 1.0]), pct,
+                              method="higher")
+
+    top_smap = smap > threshold
+    img = img / 255.0
+    rgb = img * 0.4
+    rgb[top_smap & mask] = np.array([0, 1, 0])
+    rgb[top_smap & np.invert(mask)] = np.array([1, 0, 0])
+    rgb[np.invert(top_smap) & mask] = np.array([0.6, 0.6, 0.6])
+    imageio.imwrite(fname.format(SUFFIX=""), (rgb * 255).astype(np.uint8))
+
+
+def create_save_smap(method, output_dir, overwrite, smap_fn, mask_id,
+                     probe_im, probe_info, mask_im):
+    """Compute + write saliency overlay png and npz unless cached
+    (reference: show.py:196-223)."""
+    import imageio.v2 as imageio
+
+    overlay_filename = "{}/{}-{}-saliency-overlay.png".format(
+        output_dir, mask_id, method)
+    npz_filename = "{}/{}-{}-saliency.npz".format(output_dir, mask_id, method)
+    if overwrite or not (os.path.exists(overlay_filename)
+                         and os.path.exists(npz_filename)):
+        smap = np.asarray(smap_fn(), np.float32)
+        smap -= smap.min()
+        smap /= smap.sum()
+        smap = processSaliency(probe_im, smap)
+        overlay = blend_saliency_map(probe_im, smap)
+        imageio.imwrite(overlay_filename,
+                        (np.clip(overlay, 0, 1) * 255).astype(np.uint8))
+        np.savez_compressed(npz_filename, saliency_map=smap)
+        print("Created:\n %s\n" % overlay_filename)

@@ -37,6 +37,15 @@ def cache_npz(fn, fun, cache_dir, *args, **kwargs):
         kwargs.pop("reprocess_", None)
         save_dict = dict(kwargs.pop("save_dict_", {}))
         ret = fun(*args, **kwargs)
-        save_dict["arr_0"] = ret
+        # Ragged tuple results (e.g. (iou, fp, neg, tp, pos)) must be stored
+        # as object arrays, like legacy numpy did implicitly.  Convert BEFORE
+        # np.savez — a save that raises mid-write leaves a corrupt zip.
+        try:
+            save_dict["arr_0"] = np.asanyarray(ret)
+        except ValueError:
+            arr = np.empty(len(ret), dtype=object)
+            for i, v in enumerate(ret):
+                arr[i] = v
+            save_dict["arr_0"] = arr
         np.savez(fpath, **save_dict)
         return ret
