@@ -1,0 +1,90 @@
+"""CLI driver tests: job-table construction, sharding, and a full
+generate-wb run through the argparse surface on the synthetic dataset."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_mini_dataset, make_toy_wbnet
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    data_dir = str(root / "data")
+    smaps_dir = str(root / "smaps")
+    os.makedirs(data_dir)
+    os.makedirs(smaps_dir)
+    make_mini_dataset(data_dir, net_name="toynet", mask_ids=(2, 5))
+    return dict(data_dir=data_dir, smaps_dir=smaps_dir)
+
+
+def test_job_table_and_sharding(cli_env):
+    from xfr_tpu.cli.generate_wb_saliency import build_job_table, shard_jobs
+
+    jobs = build_job_table(["toynet"], None, None, None, cli_env["data_dir"])
+    assert len(jobs) == 2  # one probe image x two masks
+    assert {j["mask_id"] for j in jobs} == {"00002", "00005"}
+    assert all(j["img_base"] == "img/p1" for j in jobs)
+
+    # mask filtering accepts ints and zero-padded strings
+    jobs2 = build_job_table(["toynet"], None, ["00002"], None,
+                            cli_env["data_dir"])
+    assert len(jobs2) == 1 and jobs2[0]["mask_id"] == "00002"
+    jobs3 = build_job_table(["toynet"], [1], [5], None, cli_env["data_dir"])
+    assert len(jobs3) == 1
+
+    # deterministic disjoint covering shards
+    shards = [shard_jobs(jobs, i, 2) for i in range(2)]
+    assert sorted(map(str, shards[0] + shards[1])) == sorted(map(str, jobs))
+    assert not (set(map(str, shards[0])) & set(map(str, shards[1])))
+
+
+def test_generate_wb_cli_end_to_end(cli_env, monkeypatch):
+    """Drive the argparse surface with the toy net patched into the
+    factory."""
+    from xfr_tpu.cli import generate_wb_saliency as cli
+    from xfr_tpu.models import factory
+
+    wb = make_toy_wbnet(subtree_mode="all")
+
+    def fake_create(net_name, **kw):
+        assert net_name == "toynet"
+        return wb
+
+    monkeypatch.setattr(factory, "create_wbnet", fake_create)
+    monkeypatch.setattr("xfr_tpu.models.create_wbnet", fake_create)
+
+    cli.main([
+        "--net", "toynet", "--method", "meanEBP",
+        "--data-dir", cli_env["data_dir"],
+        "--saliency-dir", cli_env["smaps_dir"],
+        "--shard-index", "0", "--num-shards", "1",
+    ])
+    maps = glob.glob(os.path.join(
+        cli_env["smaps_dir"],
+        "toynet/subject_ID_1/img/p1/inpainted/*meanEBP*-saliency.npz"))
+    assert len(maps) == 2
+    for f in maps:
+        sm = np.load(f)["saliency_map"]
+        assert np.isfinite(sm).all() and sm.shape == (224, 224)
+
+
+def test_fit_match_threshold():
+    from xfr_tpu.inpainting_game.dists import fit_match_threshold
+
+    rng = np.random.RandomState(0)
+    # FPR=1e-4 needs enough nonmates to be representable on the ROC grid
+    mate = np.abs(rng.randn(2000) * 0.1 + 0.4)
+    nonmate = np.abs(rng.randn(50000) * 0.1 + 1.4)
+    thresh, alpha, fpr, tpr = fit_match_threshold(mate, nonmate)
+    # threshold accepts nearly all mates at ~zero false accepts
+    assert (mate <= thresh).mean() > 0.95
+    assert (nonmate <= thresh).mean() <= 2e-3
+    assert alpha > 0  # P(nonmate) increases with distance
+    # Platt scaling classifies the bulk correctly
+    p_mate = 1 / (1 + np.exp(-alpha * (mate - thresh)))
+    p_nonmate = 1 / (1 + np.exp(-alpha * (nonmate - thresh)))
+    assert p_mate.mean() < 0.5 < p_nonmate.mean()
