@@ -1,0 +1,107 @@
+"""Tests for data pipelines (transforms, triplet loader) and multi-host job
+partitioning."""
+
+import os
+
+import numpy as np
+import PIL.Image
+import pytest
+
+
+def _img(seed=0, size=(300, 260)):
+    rng = np.random.RandomState(seed)
+    return PIL.Image.fromarray(
+        (rng.rand(size[1], size[0], 3) * 255).astype(np.uint8))
+
+
+def test_prepare_image_fn_shapes():
+    from xfr_tpu.data.transforms import prepare_image_fn
+
+    prep = prepare_image_fn(jitter=False)
+    out = prep(_img())
+    assert out.size == (224, 224)
+
+    prep_j = prepare_image_fn(jitter=True, seed=0)
+    out1 = prep_j(_img())
+    out2 = prep_j(_img())
+    assert out1.size == (224, 224)
+    # jitter draws differ between calls
+    assert not np.array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_twocrop_ensemble():
+    from xfr_tpu.data.transforms import (generate_twocrop_ensemble,
+                                         resnet101v4_preprocess_twocrop_ensemble)
+
+    crops = generate_twocrop_ensemble()(_img())
+    assert len(crops) == 6
+    assert all(c.size == (224, 224) for c in crops)
+    # flips pair up
+    np.testing.assert_array_equal(
+        np.asarray(crops[1]), np.asarray(crops[0])[:, ::-1])
+
+    arr = resnet101v4_preprocess_twocrop_ensemble()(_img())
+    assert arr.shape == (6, 3, 224, 224)
+
+
+def test_induce_artifacts_and_named_pipelines():
+    from xfr_tpu.data.transforms import (create_transforms,
+                                         generate_induce_artifacts)
+
+    art = generate_induce_artifacts((30, 60), (0.5, 0.9), seed=0)
+    out = art(_img())
+    assert out.size == _img().size
+
+    from xfr_tpu.models.resnet101 import preprocess_resnet101
+
+    for name in ("minimal", "grayscale", "invert-grayscale",
+                 "blur-grayscale"):
+        t = create_transforms(preprocess_resnet101, name, jitter=False,
+                              blur_radius=1.5, seed=0)
+        x = t(_img())
+        assert x.shape == (1, 3, 224, 224)
+
+    with pytest.raises(RuntimeError):
+        create_transforms(preprocess_resnet101, "nope", jitter=False)
+
+
+def test_triplet_loader(tmp_path):
+    import pandas as pd
+
+    from xfr_tpu.data.triplet import TripletDataLoader
+
+    root = str(tmp_path)
+    rows = []
+    for trip, base in (("PROBE", "p"), ("REF", "r0"), ("REF", "r1")):
+        orig = "im_%s_orig.png" % base
+        inp = "im_%s_inp.png" % base
+        for f in (orig, inp):
+            _img(hash(f) % 100, (64, 64)).save(os.path.join(root, f))
+        rows.append({"SUBJECT_ID": 1, "MASK_ID": 2, "TRIPLET_SET": trip,
+                     "OriginalFile": orig, "InpaintingFile": inp})
+    csv = os.path.join(root, "filtered.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    ds = TripletDataLoader(csv, data_root=root)
+    assert len(ds) == 1
+    probe, mates, nonmates = ds[0]
+    assert probe.shape == (1, 64, 64, 3)
+    assert mates.shape == (2, 64, 64, 3)
+    assert nonmates.shape == (2, 64, 64, 3)
+
+
+def test_partition_jobs():
+    from xfr_tpu.parallel.distributed import partition_jobs
+
+    jobs = list(range(17))
+    shards = [partition_jobs(jobs, i, 4) for i in range(4)]
+    assert sorted(sum(shards, [])) == jobs
+    assert max(map(len, shards)) - min(map(len, shards)) <= 1
+
+    # shared-seed shuffle: same permutation on every worker
+    a = partition_jobs(jobs, 0, 4, shuffle=True, seed=7)
+    b = partition_jobs(jobs, 0, 4, shuffle=True, seed=7)
+    assert a == b
+    shuffled = [partition_jobs(jobs, i, 4, shuffle=True, seed=7)
+                for i in range(4)]
+    assert sorted(sum(shuffled, [])) == jobs
