@@ -1,0 +1,47 @@
+"""bfloat16 compute path: same saliency structure as float32 within
+tolerance (opt-in fast path for generation throughput)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tests.fixtures import make_toy_wbnet
+
+
+def test_bf16_matches_f32_structure():
+    wb32 = make_toy_wbnet(subtree_mode="all", seed=0)
+    wb16 = make_toy_wbnet(subtree_mode="all", seed=0)
+    wb16.compute_dtype = jnp.bfloat16
+
+    rng = np.random.RandomState(0)
+    probe = jnp.asarray(rng.rand(1, 3, 224, 224), jnp.float32)
+    Pn = jnp.asarray(np.eye(5, dtype=np.float32)[2:3])
+
+    s32 = wb32.ebp(probe, Pn)
+    s16 = wb16.ebp(probe, Pn)
+    assert s16.shape == s32.shape
+    # same mass distribution within bf16 tolerance
+    corr = np.corrcoef(s32.ravel(), s16.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    c32 = wb32.contrastive_ebp(probe, 2, 3)
+    c16 = wb16.contrastive_ebp(probe, 2, 3)
+    # contrastive = difference of nearly-equal distributions, so bf16
+    # rounding amplifies: structurally similar but visibly perturbed —
+    # bf16 is recommended for meanEBP / weighted-subtree, not contrastive
+    assert np.corrcoef(c32.ravel(), c16.ravel())[0, 1] > 0.9
+
+    e = np.asarray(wb32.encode(jnp.asarray(rng.rand(2, 3, 224, 224),
+                                           jnp.float32)))
+    for wb in (wb32, wb16):
+        wb.net.set_triplet_classifier(e[0] / np.linalg.norm(e[0]),
+                                      e[1] / np.linalg.norm(e[1]))
+    m32, _, _, k32 = wb32.weighted_subtree_ebp(probe, 0, 1, topk=3,
+                                               subtree_mode="all",
+                                               verbose=False)
+    m16, _, _, k16 = wb16.weighted_subtree_ebp(probe, 0, 1, topk=3,
+                                               subtree_mode="all",
+                                               verbose=False)
+    assert np.isfinite(m16).all()
+    # subtree ranking should broadly agree
+    assert len(set(k32) & set(k16)) >= 2, (k32, k16)

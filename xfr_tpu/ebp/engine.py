@@ -73,9 +73,18 @@ class Whitebox:
     """Whitebox EBP saliency engine (reference: whitebox.py:261-824)."""
 
     def __init__(self, net: WhiteboxNetwork, ebp_version=None, with_bias=None,
-                 eps=1e-16, ebp_subtree_mode="affineonly_with_prior"):
+                 eps=1e-16, ebp_subtree_mode="affineonly_with_prior",
+                 compute_dtype=None):
+        """compute_dtype: optional jnp dtype (e.g. jnp.bfloat16) for the
+        on-device EBP compute; MWP outputs are cast back to float32.  The
+        default float32 matches the reference numerics; bfloat16 roughly
+        halves device time on the big vmapped passes.  Caveat: contrastive
+        variants subtract nearly-equal distributions, which amplifies bf16
+        rounding (maps stay structurally similar but visibly perturbed) —
+        prefer bf16 for meanEBP / weighted-subtree only."""
         assert isinstance(net, WhiteboxNetwork)
         self.net = net
+        self.compute_dtype = compute_dtype or jnp.float32
         self.eps = float(eps)
         self.ebp_ver = 6 if ebp_version is None else ebp_version
         if self.ebp_ver < 4:
@@ -103,6 +112,13 @@ class Whitebox:
     # Core jitted kernels
     # ------------------------------------------------------------------
 
+    def _prep(self, params, x):
+        """Cast params/input to the compute dtype inside a jit."""
+        if self.compute_dtype == jnp.float32:
+            return params, x
+        cast = lambda a: a.astype(self.compute_dtype)
+        return jax.tree.map(cast, params), cast(x)
+
     def _kernel(self, key, builder):
         fn = self._jit_cache.get(key)
         if fn is None:
@@ -122,10 +138,13 @@ class Whitebox:
 
         @jax.jit
         def fn(params, x, Pn):
-            return I.ebp(graph, params, x, Pn, subtree_mode=mode, eps=eps,
-                         with_bias=wb, keep=keep)
+            params, x = self._prep(params, x)
+            out = I.ebp(graph, params, x, Pn.astype(x.dtype),
+                        subtree_mode=mode, eps=eps, with_bias=wb, keep=keep)
+            return {k: v.astype(jnp.float32) for k, v in out.items()}
 
-        return self._kernel(("ebp_raw", mode, wb, keep), lambda: fn)
+        return self._kernel(("ebp_raw", mode, wb, keep,
+                             str(self.compute_dtype)), lambda: fn)
 
     def _ebp_multi_cotangent_fn(self, keep):
         """jitted: (params, x, Pn_batch[k,1,C]) -> {event: P[k,...]} sharing
@@ -136,17 +155,78 @@ class Whitebox:
 
         @jax.jit
         def fn(params, x, Pns):
+            params, x = self._prep(params, x)
             values = I.forward_clean(graph, params, x)
             posvals = I.forward_positive(graph, params, values, with_bias=wb)
 
             def bwd(Pn):
-                return I.ebp_backward(
-                    graph, params, values, posvals, Pn, subtree_mode=mode,
-                    eps=eps, with_bias=wb, keep=keep)
+                out = I.ebp_backward(
+                    graph, params, values, posvals, Pn.astype(x.dtype),
+                    subtree_mode=mode, eps=eps, with_bias=wb, keep=keep)
+                return {k: v.astype(jnp.float32) for k, v in out.items()}
 
             return jax.vmap(bwd)(Pns)
 
-        return self._kernel(("ebp_multi", mode, wb, keep), lambda: fn)
+        return self._kernel(("ebp_multi", mode, wb, keep,
+                             str(self.compute_dtype)), lambda: fn)
+
+    def _ebp_pooled_fn(self):
+        """jitted: channel-pooled MWP at event -2 — only [B,H,W] crosses to
+        host (full per-channel maps are several MB; the device->host link
+        dominates wall-clock otherwise)."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        kk = graph.n_events - 2
+
+        @jax.jit
+        def fn(params, x, Pn):
+            params, x = self._prep(params, x)
+            out = I.ebp(graph, params, x, Pn.astype(x.dtype),
+                        subtree_mode=mode, eps=eps, with_bias=wb, keep=(kk,))
+            P = out[kk].astype(jnp.float32)
+            return P.sum(axis=1), P
+
+        return self._kernel(("ebp_pooled", mode, wb,
+                             str(self.compute_dtype)), lambda: fn)
+
+    def _contrastive_fn(self, truncate=False):
+        """jitted device-side contrastive / truncated-contrastive combine
+        (whitebox.py:506-558): per-map unit-mass normalize, optional
+        percentile-mass truncation of the mate MWP, relu difference,
+        channel pool."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        kk = graph.n_events - 2
+
+        @jax.jit
+        def fn(params, x, Pns, percentile):
+            params, x = self._prep(params, x)
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+
+            def bwd(Pn):
+                out = I.ebp_backward(
+                    graph, params, values, posvals, Pn.astype(x.dtype),
+                    subtree_mode=mode, eps=eps, with_bias=wb, keep=(kk,))
+                return out[kk].astype(jnp.float32)
+
+            P = jax.vmap(bwd)(Pns)  # [2,1,C,H,W]
+            mate = P[0] / jnp.maximum(P[0].sum(), eps)
+            nonmate = P[1] / jnp.maximum(P[1].sum(), eps)
+            if truncate:
+                flat = mate.reshape(-1)
+                order = jnp.argsort(flat, stable=True)
+                csum = jnp.cumsum(flat[order])
+                keepers = (csum >= (percentile / 100.0) * csum[-1])
+                mask = jnp.zeros_like(flat).at[order].set(
+                    keepers.astype(flat.dtype)).reshape(mate.shape)
+                diff = jnp.maximum(mask * mate - mask * nonmate, 0)
+            else:
+                diff = jnp.maximum(mate - nonmate, 0)
+            return diff.sum(axis=1)[0]  # pool channels -> [H,W]
+
+        return self._kernel(("contrastive", mode, wb, truncate,
+                             str(self.compute_dtype)), lambda: fn)
 
     # ------------------------------------------------------------------
     # Saliency post-processing (reference: whitebox.py:439-460)
@@ -209,10 +289,10 @@ class Whitebox:
         x = self._as_input(x)
         Pn = jnp.asarray(Pn, jnp.float32)
         k = self._n_events - 2
-        out = self._ebp_raw_fn((k,))(self.net.params, x, Pn)
-        P = np.asarray(out[k], np.float32)
-        self.P = {k: P}
-        P = np.squeeze(P.sum(axis=1)).astype(np.float32)  # pool channels
+        pooled, P_full = self._ebp_pooled_fn()(self.net.params, x, Pn)
+        # keep the full per-channel MWP on device; convert lazily if read
+        self.P = {k: P_full}
+        P = np.squeeze(np.asarray(pooled)).astype(np.float32)
         return self._mwp_to_saliency(P) if not mwp else P
 
     def contrastive_ebp(self, img_probe, k_poschannel, k_negchannel):
@@ -221,13 +301,9 @@ class Whitebox:
         x = self._as_input(img_probe)
         Pns = jnp.stack([self._onehot(k_poschannel),
                          self._onehot(k_negchannel)])
-        k = self._n_events - 2
-        out = self._ebp_multi_cotangent_fn((k,))(self.net.params, x, Pns)
-        P = np.asarray(out[k], np.float32)  # [2,1,C,H,W]
-        mate = P[0] / max(P[0].sum(), self.eps)
-        nonmate = P[1] / max(P[1].sum(), self.eps)
-        mwp = np.squeeze(np.maximum(mate - nonmate, 0).sum(axis=1))
-        return self._mwp_to_saliency(mwp.astype(np.float32))
+        mwp = self._contrastive_fn(truncate=False)(
+            self.net.params, x, Pns, jnp.float32(0.0))
+        return self._mwp_to_saliency(np.asarray(mwp, np.float32))
 
     def truncated_contrastive_ebp(self, img_probe, k_poschannel, k_negchannel,
                                   percentile=20):
@@ -237,22 +313,9 @@ class Whitebox:
         x = self._as_input(img_probe)
         Pns = jnp.stack([self._onehot(k_poschannel),
                          self._onehot(k_negchannel)])
-        k = self._n_events - 2
-        out = self._ebp_multi_cotangent_fn((k,))(self.net.params, x, Pns)
-        P = np.asarray(out[k], np.float64)
-        mate = P[0] / max(P[0].sum(), self.eps)
-        nonmate = P[1] / max(P[1].sum(), self.eps)
-
-        flat = mate.flatten()
-        order = np.argsort(flat, kind="stable")
-        csum = np.cumsum(flat[order])
-        mask = np.zeros_like(flat)
-        mask[order] = (csum >= (percentile / 100.0) * csum[-1]).astype(
-            np.float32)
-        mask = mask.reshape(mate.shape)
-        tc = np.maximum(mask * mate - mask * nonmate, 0)
-        mwp = np.squeeze(tc.sum(axis=1)).astype(np.float32)
-        return self._mwp_to_saliency(mwp)
+        mwp = self._contrastive_fn(truncate=True)(
+            self.net.params, x, Pns, jnp.float32(percentile))
+        return self._mwp_to_saliency(np.asarray(mwp, np.float32))
 
     def layerwise_ebp(self, img_probe, k_layer, mode="argmax", k_element=None,
                       k_poschannel=0, mwp=True):
@@ -384,7 +447,12 @@ class Whitebox:
 
     def _wsebp_grad_fn(self):
         """jitted: per-event subtree scores + argmax + P_mate injection
-        values, all in one program."""
+        values, all in one program.
+
+        Forward captures are recomputed inside each wsebp kernel instead of
+        being passed between jits: shipping the ~2*n_nodes captured
+        activation tensors through jit boundaries costs far more in
+        dispatch/transfer than the ~15 ms forward recompute."""
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         n_ev = graph.n_events
@@ -418,32 +486,57 @@ class Whitebox:
                 graph, params, values, posvals, Pn_pos, subtree_mode=mode,
                 eps=eps, with_bias=wb, keep=tuple(range(n_ev - 1)))
             vals = [P_mate[k].reshape(-1)[idxs[k]] for k in range(n_ev - 1)]
-            return (jnp.stack(scores), jnp.stack(idxs), jnp.stack(vals),
-                    values, posvals)
+            return jnp.stack(scores), jnp.stack(idxs), jnp.stack(vals)
 
-        return self._kernel(("wsebp_grad", mode, wb), lambda: fn)
+        return self._kernel(("wsebp_grad", mode, wb,
+                             str(self.compute_dtype)), lambda: fn)
 
     def _wsebp_inject_fn(self):
-        """jitted: vmapped prior-injected backward over candidate events,
-        sharing forward captures."""
+        """jitted: vmapped prior-injected backward over candidate events
+        over freshly recomputed (cheap) forward captures."""
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         kk = graph.n_events - 2
 
         @jax.jit
-        def fn(params, values, posvals, ev_ids, elems, vals):
+        def fn(params, x, ev_ids, elems, vals):
+            params, x = self._prep(params, x)
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
             zero_cot = jnp.zeros_like(values[graph.output_id])
 
             def one(ev_id, elem, val):
                 out = I.ebp_backward(
                     graph, params, values, posvals, zero_cot,
                     subtree_mode=mode, eps=eps, with_bias=wb, keep=(kk,),
-                    inject_spec=(ev_id, elem, val))
-                return out[kk].sum(axis=1)  # pool channels
+                    inject_spec=(ev_id, elem, val.astype(x.dtype)))
+                return out[kk].astype(jnp.float32).sum(axis=1)
 
-            return jax.vmap(one)(ev_ids, elems, vals)
+            P_img = jax.vmap(one)(ev_ids, elems, vals)
+            # per-candidate maxima for host-side validity selection — only
+            # these scalars cross to host; the maps stay on device
+            return P_img, P_img.max(axis=(1, 2, 3))
 
-        return self._kernel(("wsebp_inject", mode, wb), lambda: fn)
+        return self._kernel(("wsebp_inject", mode, wb,
+                             str(self.compute_dtype)), lambda: fn)
+
+    def _wsebp_merge_fn(self, do_max):
+        """jitted: gather selected subtree maps, weight by normalized
+        subtree scores, merge by sum/max — on device, so only the final
+        map (and optionally the topk maps) transfer to host
+        (reference merge: whitebox.py:718-725)."""
+
+        @jax.jit
+        def fn(P_img, sel, weights):
+            maps = P_img[sel]  # [m,1,H,W]
+            norm = maps * (1.0 / (maps.max(axis=(1, 2, 3),
+                                           keepdims=True) + 1e-12))
+            weighted = weights[:, None, None, None] * norm
+            merged = (jnp.max(weighted, axis=0) if do_max
+                      else jnp.sum(weighted, axis=0))
+            return merged[0], maps
+
+        return self._kernel(("wsebp_merge", bool(do_max)), lambda: fn)
 
     def _weighted_subtree_ebp(self, img_probe, k_poschannel, k_negchannel,
                               topk, verbose, do_max_subtree,
@@ -453,7 +546,7 @@ class Whitebox:
         n_ev = self._n_events
         Pn_pos = self._onehot(k_poschannel)
 
-        scores, idxs, vals, values, posvals = self._wsebp_grad_fn()(
+        scores, idxs, vals = self._wsebp_grad_fn()(
             self.net.params, x, Pn_pos, gating=bool(do_mated_similarity_gating))
         P_subtree = np.asarray(scores, np.float32)
         P_subtree_idx = np.asarray(idxs)
@@ -465,42 +558,41 @@ class Whitebox:
         if max_candidates is not None:
             k_order = k_order[-int(max_candidates):]
 
-        out = self._wsebp_inject_fn()(
-            self.net.params, values, posvals,
+        P_img_dev, maxes = self._wsebp_inject_fn()(
+            self.net.params, x,
             jnp.asarray(k_order.astype(np.int32)),
             jnp.asarray(P_subtree_idx[k_order].astype(np.int32)),
             jnp.asarray(inj_vals[k_order]))
-        P_img = np.asarray(out, np.float32)  # [cand, 1, H, W]
-        P_img = [np.squeeze(p).astype(np.float32) for p in P_img]
+        maxes = np.asarray(maxes)  # [cand] — tiny; maps stay on device
 
         if verbose:
-            for k, p in zip(k_order, P_img):
+            for k in k_order:
                 print("[weighted_subtree_ebp][%d]: layername=%s, grad=%f"
                       % (k, self.P_layername[k], P_subtree[k]))
 
         # Valid-subtree selection (reference: whitebox.py:706-717).
         # k==1 excluded: the Multiply() layer event on STR-Janus.
-        k_valid = [np.max(P) > 0 for P in P_img]
-        k_subtree_valid = [k for (k, v) in zip(k_order, k_valid)
-                           if v and k != 1][-topk:]
+        k_valid = maxes > 0
+        sel_pos = [i for i, (k, v) in enumerate(zip(k_order, k_valid))
+                   if v and k != 1][-topk:]
+        k_subtree_valid = [int(k_order[i]) for i in sel_pos]
         if len(k_subtree_valid) == 0:
             raise RuntimeError(
                 "Failed to calculate valid subtrees. The ebp subtree mode "
                 "(%s) may not be supported by this type of network. You may "
                 'want to try the "affineonly_with_prior" ebp subtree mode.'
                 % self._ebp_subtree_mode)
-        P_img_valid = [p for (p, k, v) in zip(P_img, k_order, k_valid)
-                       if v and k != 1][-topk:]
         P_subtree_valid = [float(P_subtree[k]) for k in k_subtree_valid]
         norm = self._scale_normalized(P_subtree_valid)
         if np.sum(norm) == 0:
             norm = np.ones_like(P_subtree_valid)
 
-        stack = np.dstack([
-            float(w) * np.array(P) * (1.0 / (np.max(P) + 1e-12))
-            for (w, P) in zip(norm, P_img_valid)])
-        smap = (np.max(stack, axis=2) if do_max_subtree
-                else np.sum(stack, axis=2))
+        smap_dev, maps_dev = self._wsebp_merge_fn(bool(do_max_subtree))(
+            P_img_dev, jnp.asarray(np.asarray(sel_pos, np.int32)),
+            jnp.asarray(np.asarray(norm, np.float32)))
+        smap = np.asarray(smap_dev, np.float32)
+        P_img_valid = [np.squeeze(p).astype(np.float32)
+                       for p in np.asarray(maps_dev)]
 
         if self.convert_saliency_uint8:
             smap = self._float32_to_uint8(smap)
@@ -512,7 +604,7 @@ class Whitebox:
             [self._mwp_to_saliency(P) if do_mwp_to_saliency else P
              for P in P_img_valid],
             P_subtree_valid,
-            [int(k) for k in k_subtree_valid])
+            k_subtree_valid)
 
     # ------------------------------------------------------------------
     # Embeddings (reference: whitebox.py:742-806)
