@@ -88,3 +88,32 @@ def test_fit_match_threshold():
     p_mate = 1 / (1 + np.exp(-alpha * (mate - thresh)))
     p_nonmate = 1 / (1 + np.exp(-alpha * (nonmate - thresh)))
     assert p_mate.mean() < 0.5 < p_nonmate.mean()
+
+
+def test_eccv20_figure1_synthetic(tmp_path, monkeypatch):
+    """Figure-1 montage generation on a synthetic face directory."""
+    import PIL.Image
+
+    from xfr_tpu.cli.eccv20 import FaceDirectory, figure1
+
+    rng = np.random.RandomState(0)
+    for sid in range(4):
+        d = tmp_path / "data" / ("s%02d" % sid)
+        os.makedirs(d)
+        base = (rng.rand(260, 260, 3) * 100 + 60).astype(np.uint8)
+        base[60 + 10 * sid:120 + 10 * sid, 80:180] = 220 - 30 * sid
+        for k in range(2):
+            img = np.clip(base.astype(int) +
+                          rng.randint(-10, 10, base.shape),
+                          0, 255).astype(np.uint8)
+            PIL.Image.fromarray(img).save(d / ("im%d.jpg" % k))
+
+    wb = make_toy_wbnet(subtree_mode="all")
+    ds = FaceDirectory(str(tmp_path / "data"))
+    assert len(ds.subjects()) == 4
+    outs = figure1(wb, ds, output_dir=str(tmp_path), n_subjects=3,
+                   methods=("none", "ebp"))
+    for f in outs:
+        assert os.path.exists(f)
+        im = PIL.Image.open(f)
+        assert im.size[0] > 400  # 4x4 grid of 112px tiles
