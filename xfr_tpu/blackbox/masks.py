@@ -110,6 +110,19 @@ def upsample_shift_masks(key, grids, input_size, mask_scale,
 from functools import partial
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def upsample_shift_masks_static(grids, shifts, input_size, mask_scale):
+    """upsample_shift_masks with precomputed shifts (pallas-path lazy mask
+    materialization)."""
+    hh, ww = input_size[0] + mask_scale, input_size[1] + mask_scale
+    big = resize_bilinear(grids, (hh, ww))
+
+    def crop(m, s):
+        return jax.lax.dynamic_slice(m, (s[0], s[1]), tuple(input_size))
+
+    return jax.vmap(crop)(big, shifts)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def make_masks(key, prior, num_masks, mask_scale, num_elements,
                prior_type="mean_ebp", random_shift=True):

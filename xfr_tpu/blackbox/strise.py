@@ -62,7 +62,8 @@ class STRise:
                  device=None,
                  seed=0,
                  batch_size=256,
-                 net_dict=None):
+                 net_dict=None,
+                 use_pallas_blend=False):
         self.priors = {"mean_ebp": self.mean_ebp_prior,
                        "uniform": self.uniform_prior}
         self.black_boxes = {"resnetv4_pytorch": self.resnet_bb_fn,
@@ -79,6 +80,9 @@ class STRise:
         self.resnet_net = None
         self._key = jax.random.PRNGKey(seed)
         self.batch_size = batch_size
+        # Pallas fused upsample+shift+blend+preprocess: skips materializing
+        # the [N,H,W] float mask tensor in HBM (xfr_tpu/blackbox/pallas_blend)
+        self.use_pallas_blend = use_pallas_blend
 
         # probe / refs (blackbox.py:163-176)
         if probe is not None and refs is not None:
@@ -189,11 +193,34 @@ class STRise:
 
     def generate_sparse_masks(self, random_shift=True, order=1):
         self._key, sub = jax.random.split(self._key)
-        self._masks_dev = M.make_masks(
+        if self.use_pallas_blend and random_shift:
+            kg, ks = jax.random.split(sub)
+            grid_probs = M.prior_to_grid(
+                jnp.asarray(self.prior, jnp.float32), self.mask_scale,
+                self.prior_type)
+            self._grids_dev = M.sample_sparse_grids(
+                kg, grid_probs, self.num_masks, self.num_mask_elements)
+            self._shifts_dev = jax.random.randint(
+                ks, (self.num_masks, 2), 0, self.mask_scale)
+            self._masks_dev_cache = None
+            self._masks_np = None
+            return
+        self._grids_dev = None
+        self._masks_dev_cache = M.make_masks(
             sub, jnp.asarray(self.prior, jnp.float32), self.num_masks,
             self.mask_scale, self.num_mask_elements,
             prior_type=self.prior_type, random_shift=random_shift)
         self._masks_np = None
+
+    @property
+    def _masks_dev(self):
+        if self._masks_dev_cache is None and self._grids_dev is not None:
+            # lazy materialization for API parity (self.masks) and the
+            # non-fused scorer
+            self._masks_dev_cache = M.upsample_shift_masks_static(
+                self._grids_dev, self._shifts_dev,
+                (self.prior.shape[0], self.prior.shape[1]), self.mask_scale)
+        return self._masks_dev_cache
 
     @property
     def masks(self):
@@ -280,6 +307,37 @@ class STRise:
         self._fused_scorer_fn = score_chunk
         return score_chunk
 
+    def _fused_scorer_pallas(self):
+        """Scorer chunk using the Pallas fused upsample+shift+blend+
+        preprocess kernel: masked preprocessed probes are produced straight
+        from the tiny grids — the [N,H,W] mask tensor never exists."""
+        if getattr(self, "_fused_scorer_pallas_fn", None) is not None:
+            return self._fused_scorer_pallas_fn
+        from xfr_tpu.ebp import interpreter as I
+        from xfr_tpu.blackbox.pallas_blend import fused_mask_blend_preprocess
+        from xfr_tpu.models.resnet101 import MEAN_RGB
+
+        wb = self.resnet_net
+        graph, enc = wb.net.graph, wb.net.encode_tensor
+        scale = self.mask_scale
+
+        @jax.jit
+        def score_chunk(params, grids, shifts, probe, fill, ref_e, gal_e):
+            x = fused_mask_blend_preprocess(
+                grids, shifts, probe, fill,
+                jnp.asarray(MEAN_RGB, jnp.float32), mask_scale=scale)
+            values = I.forward_clean(graph, params, x)
+            e = values[enc].reshape(grids.shape[0], -1)
+            e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+            ref_s = 1.0 - 0.5 * jnp.linalg.norm(
+                e[:, None, :] - ref_e[None], axis=2)
+            gal_s = 1.0 - 0.5 * jnp.linalg.norm(
+                e[:, None, :] - gal_e[None], axis=2)
+            return ref_s, gal_s
+
+        self._fused_scorer_pallas_fn = score_chunk
+        return score_chunk
+
     def score_masks(self):
         builtin = self.black_box in self.black_boxes if self.black_box \
             else False
@@ -296,21 +354,38 @@ class STRise:
             self.original_probe_gallery_scores = _l2_similarity(
                 self._embed_collection(wb, [self.probe]), gal_e)
 
-            scorer = self._fused_scorer()
             probe = jnp.asarray(self.probe, jnp.float32)
             ref_e_d = jnp.asarray(ref_e, jnp.float32)
             gal_e_d = jnp.asarray(gal_e, jnp.float32)
             n, bs = self.num_masks, self.batch_size
             ref_chunks, gal_chunks = [], []
             pad = (-n) % bs
-            masks = self._masks_dev
-            if pad:
-                masks = jnp.concatenate(
-                    [masks, jnp.zeros((pad,) + masks.shape[1:],
-                                      masks.dtype)])
+            use_pallas = (self.use_pallas_blend and
+                          getattr(self, "_grids_dev", None) is not None)
+            if use_pallas:
+                scorer = self._fused_scorer_pallas()
+                grids, shifts = self._grids_dev, self._shifts_dev
+                if pad:
+                    grids = jnp.concatenate(
+                        [grids, jnp.ones((pad,) + grids.shape[1:],
+                                         grids.dtype)])
+                    shifts = jnp.concatenate(
+                        [shifts, jnp.zeros((pad, 2), shifts.dtype)])
+            else:
+                scorer = self._fused_scorer()
+                masks = self._masks_dev
+                if pad:
+                    masks = jnp.concatenate(
+                        [masks, jnp.zeros((pad,) + masks.shape[1:],
+                                          masks.dtype)])
             for i in range(0, n + pad, bs):
-                rs, gs = scorer(wb.net.params, masks[i:i + bs], probe,
-                                self._fill_dev, ref_e_d, gal_e_d)
+                if use_pallas:
+                    rs, gs = scorer(wb.net.params, grids[i:i + bs],
+                                    shifts[i:i + bs], probe,
+                                    self._fill_dev, ref_e_d, gal_e_d)
+                else:
+                    rs, gs = scorer(wb.net.params, masks[i:i + bs], probe,
+                                    self._fill_dev, ref_e_d, gal_e_d)
                 # keep on device: dispatches pipeline asynchronously
                 ref_chunks.append(rs)
                 gal_chunks.append(gs)
