@@ -105,3 +105,46 @@ def test_partition_jobs():
     shuffled = [partition_jobs(jobs, i, 4, shuffle=True, seed=7)
                 for i in range(4)]
     assert sorted(sum(shuffled, [])) == jobs
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from xfr_tpu.models.checkpoint import load_params, save_params
+    from xfr_tpu.models.common import init_params
+    from xfr_tpu.graph import GraphBuilder
+
+    g = GraphBuilder("t")
+    x = g.conv2d(0, 3, 4, 3, padding=1, name="c")
+    x = g.linear(g.flatten(x), 4 * 8 * 8, 5, name="fc")
+    params = init_params(g.param_shapes, seed=0)
+
+    path = save_params(params, str(tmp_path / "ckpt"))
+    restored = load_params(path)
+    for pname, p in params.items():
+        for k, v in p.items():
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(restored[pname][k]))
+
+
+def test_strface_shim():
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.strface import encode_centercrop
+
+    wb = make_toy_wbnet()
+    img = (np.random.RandomState(0).rand(224, 224, 3) * 255).astype(np.uint8)
+    e = encode_centercrop(wb, img)
+    assert e.shape == (12,)
+    assert np.isfinite(e).all()
+
+
+def test_timer_and_profiling():
+    from xfr_tpu.utils.profiling import Timer
+
+    t = Timer()
+    with t.time("a"):
+        pass
+    with t.time("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.report()
