@@ -416,6 +416,113 @@ class Whitebox:
         return self._prior_ebp(x, {kl: jnp.asarray(prior)}, mwp=mwp)
 
     # ------------------------------------------------------------------
+    # Probe-batched triplet EBP
+    # ------------------------------------------------------------------
+    #
+    # B probes with B different (mate, nonmate) classifiers run as ONE
+    # batch: the per-probe 2-row classifiers interleave into a single
+    # [2B, D] matrix and each probe's cotangent selects only its own two
+    # rows.  Because the classifier is linear, zero cotangent rows
+    # contribute nothing to the backward — per-probe results are exactly
+    # the 2-class runs, but the whole batch is one device launch.
+
+    def set_triplet_classifier_batch(self, x_mates, x_nonmates):
+        """Install an interleaved [2B, D] classifier for B probes."""
+        x_mates = jnp.asarray(x_mates)
+        x_nonmates = jnp.asarray(x_nonmates)
+        B, D = x_mates.shape
+        w = jnp.stack([x_mates, x_nonmates], axis=1).reshape(2 * B, D)
+        self.net.params = dict(self.net.params)
+        self.net.params[self.net.classifier_pname] = {"w": w}
+        self.net._num_classes = 2 * B
+        return B
+
+    def _batch_cotangents(self, B, kind):
+        """[B, 2B] (or [2, B, 2B]) cotangent rows selecting each probe's
+        own classifier rows."""
+        eye = np.zeros((B, 2 * B), np.float32)
+        mate = eye.copy()
+        nonmate = eye.copy()
+        both = eye.copy()
+        for i in range(B):
+            mate[i, 2 * i] = 1.0
+            nonmate[i, 2 * i + 1] = 1.0
+            both[i, 2 * i] = 1.0
+            both[i, 2 * i + 1] = 1.0
+        if kind == "mean":
+            return jnp.asarray(both)
+        return jnp.stack([jnp.asarray(mate), jnp.asarray(nonmate)])
+
+    def ebp_batch(self, x, mwp=False):
+        """Batched meanEBP over the installed batch triplet classifiers:
+        x [B,C,H,W] -> list of B saliency maps."""
+        x = jnp.asarray(x, jnp.float32)
+        B = x.shape[0]
+        assert self.net.num_classes() == 2 * B, "call " \
+            "set_triplet_classifier_batch(B) matching the probe batch"
+        Pn = self._batch_cotangents(B, "mean")
+        pooled, P_full = self._ebp_pooled_fn()(self.net.params, x, Pn)
+        self.P = {self._n_events - 2: P_full}
+        pooled = np.asarray(pooled, np.float32)
+        if mwp:
+            return [pooled[i] for i in range(B)]
+        return [self._mwp_to_saliency(pooled[i]) for i in range(B)]
+
+    def _contrastive_batch_fn(self, truncate=False):
+        """jitted batched contrastive combine with per-sample
+        normalization/truncation."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        kk = graph.n_events - 2
+
+        @jax.jit
+        def fn(params, x, Pns, percentile):
+            params, x = self._prep(params, x)
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+
+            def bwd(Pn):
+                out = I.ebp_backward(
+                    graph, params, values, posvals, Pn.astype(x.dtype),
+                    subtree_mode=mode, eps=eps, with_bias=wb, keep=(kk,))
+                return out[kk].astype(jnp.float32)
+
+            P = jax.vmap(bwd)(Pns)  # [2, B, C, H, W]
+
+            def combine(mate, nonmate):
+                mate = mate / jnp.maximum(mate.sum(), eps)
+                nonmate = nonmate / jnp.maximum(nonmate.sum(), eps)
+                if truncate:
+                    flat = mate.reshape(-1)
+                    order = jnp.argsort(flat, stable=True)
+                    csum = jnp.cumsum(flat[order])
+                    keepers = (csum >= (percentile / 100.0) * csum[-1])
+                    mask = jnp.zeros_like(flat).at[order].set(
+                        keepers.astype(flat.dtype)).reshape(mate.shape)
+                    diff = jnp.maximum(mask * mate - mask * nonmate, 0)
+                else:
+                    diff = jnp.maximum(mate - nonmate, 0)
+                return diff.sum(axis=0)  # pool channels -> [H,W]
+
+            return jax.vmap(combine)(P[0], P[1])
+
+        return self._kernel(("contrastive_batch", mode, wb, truncate,
+                             str(self.compute_dtype)), lambda: fn)
+
+    def contrastive_ebp_batch(self, x, truncate_percent=None):
+        """Batched (truncated-)contrastive EBP over the installed batch
+        classifiers: x [B,C,H,W] -> list of B saliency maps."""
+        x = jnp.asarray(x, jnp.float32)
+        B = x.shape[0]
+        assert self.net.num_classes() == 2 * B
+        Pns = self._batch_cotangents(B, "contrastive")
+        mwp = self._contrastive_batch_fn(truncate_percent is not None)(
+            self.net.params, x, Pns,
+            jnp.float32(truncate_percent or 0.0))
+        mwp = np.asarray(mwp, np.float32)
+        return [self._mwp_to_saliency(mwp[i]) for i in range(B)]
+
+    # ------------------------------------------------------------------
     # Weighted subtree EBP
     # ------------------------------------------------------------------
 
