@@ -158,3 +158,43 @@ def _toy_bb_fn(wb, probes, gallery):
     pe = embed(probes)
     ge = embed(gallery)
     return 1.0 - 0.5 * np.linalg.norm(pe[:, None] - ge[None], axis=2)
+
+
+def test_batched_generation_matches_serial(game_env, tmp_path):
+    """generate_wb_smaps_batched writes numerically-equal maps to the
+    serial driver (and fixes the meanEBP classifier-leak the serial path
+    guards against via reset_classifier)."""
+    from xfr_tpu.inpainting_game import generate as G
+
+    wb = game_env["wb"]
+    serial_dir = str(tmp_path / "smaps_serial")
+    batch_dir = str(tmp_path / "smaps_batched")
+    os.makedirs(serial_dir, exist_ok=True)
+    os.makedirs(batch_dir, exist_ok=True)
+
+    for mid in ("%05d" % 2, "%05d" % 5):
+        G.generate_wb_smaps(
+            wb, "toynet", "img/p1", 1, mid, subtree_mode_weighted="all",
+            ebp_ver=6, overwrite=True, data_dir=game_env["data_dir"],
+            smaps_dir=serial_dir)
+
+    jobs = [(1, "%05d" % 2, "img/p1"), (1, "%05d" % 5, "img/p1")]
+    n = G.generate_wb_smaps_batched(
+        wb, "toynet", jobs, subtree_mode_weighted="all", ebp_ver=6,
+        overwrite=True, data_dir=game_env["data_dir"], smaps_dir=batch_dir,
+        batch_size=2)
+    assert n == 2
+
+    serial_maps = sorted(glob.glob(os.path.join(
+        serial_dir, "toynet/subject_ID_1/img/p1/inpainted/*-saliency.npz")))
+    serial_maps = [f for f in serial_maps if "bbox-rise" not in f]
+    assert len(serial_maps) == 8
+    for f in serial_maps:
+        g = f.replace(serial_dir, batch_dir)
+        assert os.path.exists(g), g
+        a = np.load(f)["saliency_map"]
+        b = np.load(g)["saliency_map"]
+        # atol 1e-5: the truncated percentile-mass boundary can flip a few
+        # pixels under float cumsum reassociation
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-5,
+                                   err_msg=os.path.basename(f))

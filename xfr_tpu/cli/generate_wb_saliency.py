@@ -106,10 +106,14 @@ def main(argv=None):
     parser.add_argument("--wsebp-max-candidates", type=int, default=None,
                         help="cap on weighted-subtree candidate layers "
                              "(None = all, exact reference semantics)")
+    parser.add_argument("--batch-size", type=int, default=8,
+                        help="probe batch for the batched generation "
+                             "pipeline (0 = serial per-job reference flow)")
     args = parser.parse_args(argv)
 
     from xfr_tpu.models import create_wbnet
-    from xfr_tpu.inpainting_game.generate import generate_wb_smaps
+    from xfr_tpu.inpainting_game.generate import (generate_wb_smaps,
+                                                  generate_wb_smaps_batched)
 
     data_dir = args.data_dir or xfr_tpu.inpaintgame2_dir
     jobs = build_job_table(args.WB_NET, args.SUBJECT_ID, args.MASK_ID,
@@ -123,6 +127,25 @@ def main(argv=None):
     ebp_ver = int(args.EBP_VER[0])
     init_mode = args.INIT_EBP_SUBTREE_MODE[0]
     weighted_mode = args.EBP_SUBTREE_MODE_WEIGHTED[0]
+
+    if args.batch_size and args.batch_size > 0:
+        # batched pipeline: mean/contrastive/truncated batch across jobs
+        for net_name in {j["net"] for j in jobs}:
+            wb = create_wbnet(net_name, ebp_version=ebp_ver,
+                              ebp_subtree_mode=init_mode)
+            net_jobs = [(j["subject_id"], j["mask_id"], j["img_base"])
+                        for j in jobs if j["net"] == net_name]
+            for method in args.METHOD:
+                generate_wb_smaps_batched(
+                    wb, net_name, net_jobs,
+                    subtree_mode_weighted=(weighted_mode or
+                                           wb.ebp_subtree_mode()),
+                    ebp_ver=ebp_ver, overwrite=args.overwrite,
+                    method=method,
+                    wsebp_max_candidates=args.wsebp_max_candidates,
+                    data_dir=data_dir, smaps_dir=args.saliency_dir,
+                    batch_size=args.batch_size)
+        return
 
     wbnets = {}
     failures = []

@@ -47,9 +47,21 @@ class WhiteboxNetwork:
         self._preprocess = preprocess
         self.embed_dim = embed_dim
         self.name = name
+        # original classifier, restorable after set_triplet_classifier —
+        # the reference builds a fresh net per generation job, so meanEBP
+        # always sees the full classifier
+        self._orig_classifier = dict(params).get(classifier_pname)
+        self._orig_num_classes = num_classes
 
     def num_classes(self):
         return self._num_classes
+
+    def reset_classifier(self):
+        """Restore the original (full) classifier after triplet runs."""
+        if self._orig_classifier is not None:
+            self.params = dict(self.params)
+            self.params[self.classifier_pname] = self._orig_classifier
+        self._num_classes = self._orig_num_classes
 
     def set_triplet_classifier(self, x_mate, x_nonmate):
         """Replace the classifier with a 2-row [x_mate; x_nonmate] matrix

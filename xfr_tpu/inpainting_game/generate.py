@@ -47,9 +47,14 @@ def _avg_encodings(wb, im_mates, im_nonmates):
 
 def mean_ebp(wb, probe_im, net_name=None, ebp_version=None, device=None):
     """Mean EBP over all classes (uniform output prior)
-    (reference: generate_whitebox_saliency.py:207-214)."""
+    (reference: generate_whitebox_saliency.py:207-214).
+
+    The reference builds a fresh net per job, so meanEBP always runs over
+    the ORIGINAL full classifier; restore it in case a previous method on
+    this shared engine installed a 2-class triplet head."""
     import jax.numpy as jnp
 
+    wb.net.reset_classifier()
     x_probe = wb.convert_from_numpy(probe_im)
     P = jnp.ones((1, wb.net.num_classes()), jnp.float32)
     return wb.ebp(x_probe, P)
@@ -300,3 +305,115 @@ def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
                 probe_info=probe_row)
             dt = time.time() - t0
             print("Time: %dm %fs" % (int(dt // 60), dt % 60))
+
+
+def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
+                              ebp_ver, overwrite, method=None,
+                              wsebp_max_candidates=None, data_dir=None,
+                              smaps_dir=None, batch_size=8, device=None):
+    """Cross-job batched whitebox generation.
+
+    ``jobs``: list of (subject_id, mask_id, img_base).  meanEBP and
+    (truncated-)contrastive run as probe batches (one device launch per
+    method per batch: meanEBP batches trivially over the shared full
+    classifier; contrastive uses the interleaved per-probe classifier
+    trick); weighted-subtree runs per probe.  Outputs are byte-identical in
+    convention to generate_wb_smaps.
+    """
+    import jax.numpy as jnp
+
+    data_dir = data_dir or xfr_tpu.inpaintgame2_dir
+    smaps_dir = smaps_dir or xfr_tpu.inpaintgame_saliencymaps_dir
+    dev_tag = "cpu" if device is None else str(device)
+
+    # -- resolve jobs: triplet files, output dirs, cached-method filtering
+    mode_slug = shorten_subtree_mode(wb.ebp_subtree_mode())
+    slugs = {
+        "meanEBP": "meanEBP_mode=%s_v%02d_%s" % (mode_slug, ebp_ver,
+                                                 dev_tag),
+        "contrastive": "contrastive_triplet_ebp_mode=%s_v%02d_%s"
+                       % (mode_slug, ebp_ver, dev_tag),
+        "trunc": "trunc_contrastive_triplet_ebp_mode=%s_v%02d_pct20_%s"
+                 % (mode_slug, ebp_ver, dev_tag),
+        "weighted-subtree":
+            "weighted_subtree_triplet_ebp_mode=%s,%s_v%02d_top32_%s"
+            % (mode_slug, shorten_subtree_mode(subtree_mode_weighted),
+               ebp_ver, dev_tag),
+    }
+
+    want = {"meanEBP": method in (None, "meanEBP"),
+            "contrastive": method in (None, "contrastive"),
+            "trunc": method in (None, "contrastive"),
+            "weighted-subtree": method in (None, "weighted-subtree")}
+
+    pend = []
+    for (subj_id, mask_id, img_base) in jobs:
+        probe_data, probes, probe_masks, mates, nonmates = _load_triplet(
+            net_name, subj_id, mask_id, img_base, data_dir=data_dir)
+        cropped = os.path.join(data_dir, "aligned/%s" % subj_id)
+        outdir = os.path.join(
+            smaps_dir, "%s/subject_ID_%s" % (net_name, subj_id),
+            os.path.split(os.path.relpath(probes[0], cropped))[0])
+        os.makedirs(outdir, exist_ok=True)
+        todo = {m: want[m] and (overwrite or not os.path.exists(
+            "%s/%s-%s-saliency.npz" % (outdir, mask_id, slugs[m])))
+            for m in slugs}
+        if not any(todo.values()):
+            continue
+        probe_im = next(iter(image_loader(probes)))
+        mask_im = next(iter(image_loader(probe_masks)))
+        im_mates = list(image_loader(mates))
+        im_nonmates = list(image_loader(nonmates))
+        em, en = _avg_encodings(wb, im_mates, im_nonmates)
+        pend.append(dict(mask_id=mask_id, outdir=outdir,
+                         probe_im=probe_im, mask_im=mask_im,
+                         probe_row=probe_data.iloc[0], em=em, en=en,
+                         todo=todo,
+                         x=wb.convert_from_numpy(probe_im)))
+
+    def _write(j, slug_key, smap):
+        create_save_smap(
+            slugs[slug_key], j["outdir"], True, smap_fn=lambda: smap,
+            probe_im=j["probe_im"], probe_info=j["probe_row"],
+            mask_im=j["mask_im"], mask_id=j["mask_id"])
+
+    for lo in range(0, len(pend), batch_size):
+        group = pend[lo:lo + batch_size]
+        x = jnp.concatenate([j["x"] for j in group])
+        B = len(group)
+
+        if any(j["todo"]["meanEBP"] for j in group):
+            wb.net.reset_classifier()
+            Pn = jnp.ones((B, wb.net.num_classes()), jnp.float32)
+            pooled, _ = wb._ebp_pooled_fn()(wb.net.params, x, Pn)
+            pooled = np.asarray(pooled, np.float32)
+            for i, j in enumerate(group):
+                if j["todo"]["meanEBP"]:
+                    _write(j, "meanEBP", wb._mwp_to_saliency(pooled[i]))
+
+        mates_b = np.stack([j["em"] / 2500.0 for j in group])
+        nonmates_b = np.stack([j["en"] / 2500.0 for j in group])
+        if any(j["todo"]["contrastive"] for j in group) or \
+                any(j["todo"]["trunc"] for j in group):
+            wb.set_triplet_classifier_batch(mates_b, nonmates_b)
+            cons = wb.contrastive_ebp_batch(x)
+            truncs = wb.contrastive_ebp_batch(x, truncate_percent=20)
+            for i, j in enumerate(group):
+                if j["todo"]["contrastive"]:
+                    _write(j, "contrastive", cons[i])
+                if j["todo"]["trunc"]:
+                    _write(j, "trunc", truncs[i])
+
+        flags = _WSEBP_FLAGS.get(ebp_ver,
+                                 dict(do_max_subtree=False,
+                                      do_mated_similarity_gating=False))
+        for i, j in enumerate(group):
+            if not j["todo"]["weighted-subtree"]:
+                continue
+            wb.net.set_triplet_classifier(j["em"], j["en"])
+            smap, _, _, _ = wb.weighted_subtree_ebp(
+                x[i:i + 1], 0, 1, topk=32,
+                subtree_mode=subtree_mode_weighted, verbose=False,
+                max_candidates=wsebp_max_candidates, **flags)
+            _write(j, "weighted-subtree", smap)
+    return len(pend)
