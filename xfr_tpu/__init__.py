@@ -32,3 +32,27 @@ inpaintgame_saliencymaps_dir = os.environ.get(
     "XFR_INPAINTGAME_SMAPS_DIR",
     os.path.join(xfr_root, "data", "inpainting-game-saliency-maps"))
 output_dir = os.environ.get("XFR_OUTPUT_DIR", os.path.join(xfr_root, "output"))
+
+
+def _enable_persistent_compile_cache():
+    """XLA compiles of the big EBP programs take minutes on TPU; the
+    persistent cache turns every fresh CLI process after the first from
+    ~220 s of compiles into seconds.  Opt out with XFR_JAX_CACHE_DIR=''."""
+    cache_dir = os.environ.get(
+        "XFR_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "xfr_tpu_jax"))
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
