@@ -610,9 +610,14 @@ class Whitebox:
         return self._kernel(("wsebp_grad", mode, wb,
                              str(self.compute_dtype)), lambda: fn)
 
-    def _wsebp_inject_fn(self):
+    def _wsebp_inject_fn(self, start_node=None):
         """jitted: vmapped prior-injected backward over candidate events
-        over freshly recomputed (cheap) forward captures."""
+        over freshly recomputed (cheap) forward captures.
+
+        ``start_node`` truncates the walk: with a zero output cotangent the
+        gradient above the injection point is identically zero, so a kernel
+        whose candidates all fire at node <= start_node statically skips
+        the deeper vjps (GraphDef.event_node bucketing)."""
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         kk = graph.n_events - 2
@@ -628,7 +633,8 @@ class Whitebox:
                 out = I.ebp_backward(
                     graph, params, values, posvals, zero_cot,
                     subtree_mode=mode, eps=eps, with_bias=wb, keep=(kk,),
-                    inject_spec=(ev_id, elem, val.astype(x.dtype)))
+                    inject_spec=(ev_id, elem, val.astype(x.dtype)),
+                    start_node=start_node)
                 return out[kk].astype(jnp.float32).sum(axis=1)
 
             P_img = jax.vmap(one)(ev_ids, elems, vals)
@@ -636,8 +642,27 @@ class Whitebox:
             # these scalars cross to host; the maps stay on device
             return P_img, P_img.max(axis=(1, 2, 3))
 
-        return self._kernel(("wsebp_inject", mode, wb,
+        return self._kernel(("wsebp_inject", mode, wb, start_node,
                              str(self.compute_dtype)), lambda: fn)
+
+    def _wsebp_buckets(self, n_buckets=6):
+        """Static partition of candidate events 0..n_events-2 into buckets
+        by fire node, each with its truncation start_node (= max node in
+        the bucket).  Cached per (graph, n_buckets)."""
+        key = ("wsebp_buckets", n_buckets)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        graph = self.net.graph
+        ev_node = graph.event_node
+        cand = sorted(range(graph.n_events - 1), key=lambda e: ev_node[e])
+        n_buckets = min(n_buckets, len(cand))
+        size = -(-len(cand) // n_buckets)
+        buckets = []
+        for o in range(0, len(cand), size):
+            grp = cand[o:o + size]
+            buckets.append((max(ev_node[e] for e in grp), tuple(grp)))
+        self._jit_cache[key] = tuple(buckets)
+        return self._jit_cache[key]
 
     def _wsebp_merge_fn(self, do_max):
         """jitted: gather selected subtree maps, weight by normalized
@@ -677,12 +702,22 @@ class Whitebox:
         if max_candidates is not None:
             k_order = k_order[-int(max_candidates):]
 
+        # One flat vmapped sweep over all candidates.  (A bucketed
+        # truncated-walk variant — interpreter start_node +
+        # _wsebp_buckets — is correct but measured slower: the per-bucket
+        # forward recomputes and narrower vmaps cost more than the skipped
+        # above-injection vjps save.)
         P_img_dev, maxes = self._wsebp_inject_fn()(
             self.net.params, x,
             jnp.asarray(k_order.astype(np.int32)),
             jnp.asarray(P_subtree_idx[k_order].astype(np.int32)),
             jnp.asarray(inj_vals[k_order]))
-        maxes = np.asarray(maxes)  # [cand] — tiny; maps stay on device
+        maxes = np.asarray(maxes)  # [cand]; maps stay on device
+
+        def fetch(events):
+            lookup = {int(e): i for i, e in enumerate(k_order)}
+            return P_img_dev[jnp.asarray(
+                np.asarray([lookup[int(e)] for e in events], np.int32))]
 
         if verbose:
             for k in k_order:
@@ -706,8 +741,9 @@ class Whitebox:
         if np.sum(norm) == 0:
             norm = np.ones_like(P_subtree_valid)
 
+        sel_maps = fetch(k_subtree_valid)
         smap_dev, maps_dev = self._wsebp_merge_fn(bool(do_max_subtree))(
-            P_img_dev, jnp.asarray(np.asarray(sel_pos, np.int32)),
+            sel_maps, jnp.arange(len(k_subtree_valid)),
             jnp.asarray(np.asarray(norm, np.float32)))
         smap = np.asarray(smap_dev, np.float32)
         P_img_valid = [np.squeeze(p).astype(np.float32)

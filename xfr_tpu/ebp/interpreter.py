@@ -152,6 +152,7 @@ def ebp_backward(
     keep: Optional[Sequence[int]] = None,
     priors: Optional[Dict[int, jnp.ndarray]] = None,
     inject_spec=None,
+    start_node: Optional[int] = None,
 ) -> Dict[int, jnp.ndarray]:
     """EBP backward walk.  Returns {event_idx: P} for requested events.
 
@@ -164,6 +165,11 @@ def ebp_backward(
         whitebox.py:390-392,570-577).
       inject_spec: traced (event_id, flat_elem, value) dynamic one-hot prior
         for the vmapped weighted-subtree path.
+      start_node: begin the walk at this node index instead of the output
+        (truncated walk for prior-injected sweeps with zero cotangent:
+        everything above contributes zero gradient, so missing grads are
+        treated as zeros; the injected event's node must be <= start_node —
+        see GraphDef.event_node).
     """
     _check_mode(graph, subtree_mode)
     priors = priors or {}
@@ -173,6 +179,9 @@ def ebp_backward(
     grads = [None] * graph.n_tensors
     grads[graph.output_id] = cotangent
     out: Dict[int, jnp.ndarray] = {}
+    truncated = start_node is not None
+    first_node = (len(graph.nodes) - 1 if start_node is None
+                  else min(start_node, len(graph.nodes) - 1))
 
     # Event lookup: (tensor, consumer, slot) -> Event
     ev_by_key = {(e.tensor, e.consumer, e.slot): e for e in graph.events}
@@ -180,7 +189,9 @@ def ebp_backward(
     def _finalize(t):
         g = grads[t]
         if g is None:
-            return
+            if not truncated:
+                return
+            g = jnp.zeros_like(values[t])
         for (ci, slot, at, xt) in graph.hooks_on(t):
             ev = ev_by_key[(t, ci, slot)]
             a = jnp.maximum(values[at], 0)
@@ -192,7 +203,7 @@ def ebp_backward(
                 out[ev.idx] = p
         grads[t] = g
 
-    for ni in range(len(graph.nodes) - 1, -1, -1):
+    for ni in range(first_node, -1, -1):
         node = graph.nodes[ni]
         _finalize(node.out)
         g = grads[node.out]

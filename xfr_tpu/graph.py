@@ -149,17 +149,22 @@ class GraphDef:
 
         # Static backward event schedule (see module docstring).
         events: List[Event] = []
+        event_node: List[int] = []  # node index processed when event fires
 
-        def _finalize(t: int):
+        def _finalize(t: int, ni: int):
             for (ci, slot, at, xt) in hooks.get(t, ()):
                 events.append(Event(
                     idx=len(events), tensor=t, consumer=ci, slot=slot,
                     tag=self.nodes[ci].tag, a_tensor=at, x_tensor=xt))
+                event_node.append(ni)
 
         for ni in range(len(self.nodes) - 1, -1, -1):
-            _finalize(self.nodes[ni].out)
-        _finalize(self.input_id)
+            _finalize(self.nodes[ni].out, ni)
+        _finalize(self.input_id, 0)
         self.events: Tuple[Event, ...] = tuple(events)
+        # event_node[e]: starting the backward walk at node event_node[e]
+        # (or any later node) suffices for event e to fire
+        self.event_node: Tuple[int, ...] = tuple(event_node)
 
     def hooks_on(self, t: int):
         return self._hooks.get(t, ())
