@@ -63,15 +63,22 @@ def main(argv=None):
         random.shuffle(jobs)
     print("worker %d/%d: %d jobs" % (shard_index, num_shards, len(jobs)))
 
+    BUILTIN = ("resnetv4_pytorch", "resnetv6_pytorch")
     wbnets = {}
+    net_dict = {}
     failures = []
     for job in jobs:
         if job["net"] not in wbnets:
             wbnets[job["net"]] = create_wbnet(job["net"], ebp_version=6)
+            net_dict[(job["net"], 6)] = wbnets[job["net"]]
         wb = wbnets[job["net"]]
+        # builtin matchers get the fused on-device scorer; others keep the
+        # host embeddings contract (reference bb driver path)
+        scorer = ((job["net"], net_dict) if job["net"] in BUILTIN
+                  else make_bb_score_fn(wb))
         try:
             generate_bb_smaps(
-                make_bb_score_fn(wb), wb.convert_from_numpy, job["net"],
+                scorer, wb.convert_from_numpy, job["net"],
                 job["img_base"], job["subject_id"], job["mask_id"],
                 ebp_ver=6, overwrite=args.overwrite,
                 rise_scale=args.rise_scale, num_masks=args.num_masks,

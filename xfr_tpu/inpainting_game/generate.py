@@ -246,13 +246,22 @@ def create_bbox(blackbox_fn, probe_im, mates, nonmates, rise_scale,
     def bbox():
         from xfr_tpu.blackbox import STRise
 
-        strise = STRise(
+        kwargs = dict(
             probe=probe_im, refs=mates, gallery=nonmates,
-            mask_scale=rise_scale, black_box_fn=blackbox_fn,
+            mask_scale=rise_scale,
             num_mask_elements=num_mask_elements,
             mask_fill_type=mask_fill_type,
             blur_fill_sigma_percent=blur_sigma_percent,
             num_masks=num_masks, seed=seed, prior_type=prior_type)
+        if isinstance(blackbox_fn, str):
+            # builtin matcher name: the fused on-device scorer (embeds each
+            # masked probe once for both galleries)
+            strise = STRise(black_box=blackbox_fn, **kwargs)
+        elif isinstance(blackbox_fn, tuple):
+            name, net_dict = blackbox_fn
+            strise = STRise(black_box=name, net_dict=net_dict, **kwargs)
+        else:
+            strise = STRise(black_box_fn=blackbox_fn, **kwargs)
         strise.evaluate()
         return strise.saliency_map
     return bbox
