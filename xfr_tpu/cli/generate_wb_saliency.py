@@ -109,6 +109,11 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=8,
                         help="probe batch for the batched generation "
                              "pipeline (0 = serial per-job reference flow)")
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="on-device EBP dtype; bfloat16 ~halves the "
+                             "weighted-subtree sweep but perturbs "
+                             "contrastive maps (see Whitebox docstring)")
     args = parser.parse_args(argv)
 
     from xfr_tpu.models import create_wbnet
@@ -128,11 +133,16 @@ def main(argv=None):
     init_mode = args.INIT_EBP_SUBTREE_MODE[0]
     weighted_mode = args.EBP_SUBTREE_MODE_WEIGHTED[0]
 
+    import jax.numpy as jnp
+    cdtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+
     if args.batch_size and args.batch_size > 0:
         # batched pipeline: mean/contrastive/truncated batch across jobs
         for net_name in {j["net"] for j in jobs}:
             wb = create_wbnet(net_name, ebp_version=ebp_ver,
                               ebp_subtree_mode=init_mode)
+            if cdtype is not None:
+                wb.compute_dtype = cdtype
             net_jobs = [(j["subject_id"], j["mask_id"], j["img_base"])
                         for j in jobs if j["net"] == net_name]
             for method in args.METHOD:
@@ -154,6 +164,8 @@ def main(argv=None):
             wbnets[job["net"]] = create_wbnet(
                 job["net"], ebp_version=ebp_ver,
                 ebp_subtree_mode=init_mode)
+            if cdtype is not None:
+                wbnets[job["net"]].compute_dtype = cdtype
         wb = wbnets[job["net"]]
         wmode = weighted_mode or wb.ebp_subtree_mode()
         for method in args.METHOD:
