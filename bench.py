@@ -28,7 +28,6 @@ BASELINE_MAPS_PER_SEC = 0.04  # reference Titan X, standard 4-map mix
 
 
 def main():
-    import jax
     import jax.numpy as jnp
     from xfr_tpu.models import create_wbnet
 

@@ -13,7 +13,6 @@ face-meaningful).
 
 import argparse
 import os
-import sys
 
 import numpy as np
 import PIL.Image

@@ -15,7 +15,6 @@ jitted chunk, halving the dominant cost.
 from __future__ import annotations
 
 import sys
-from functools import partial
 
 import numpy as np
 import jax

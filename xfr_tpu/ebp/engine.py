@@ -14,7 +14,6 @@ Mirrors the reference ``Whitebox``/``WhiteboxNetwork`` surface
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Dict, Optional
 

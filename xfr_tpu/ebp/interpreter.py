@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from xfr_tpu import ops as O

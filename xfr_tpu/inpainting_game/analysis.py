@@ -16,7 +16,6 @@ import itertools
 import os
 import pickle
 import re
-import warnings
 from collections import OrderedDict, defaultdict
 from pathlib import Path
 
@@ -26,7 +25,7 @@ import xfr_tpu
 from xfr_tpu import show
 from xfr_tpu import inpainting_game as inpaintgame
 from xfr_tpu.utils import cache_npz
-from xfr_tpu.utils.image import center_crop, gaussian, resize
+from xfr_tpu.utils.image import gaussian, resize
 
 # Facial regions by MASK_ID (reference: plot_inpainting_game.py:44-89).
 regions = OrderedDict([

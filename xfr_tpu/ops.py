@@ -15,7 +15,6 @@ models/resnet50_128_pytorch/resnet50_128.py).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ skimage.filters.gaussian wraps.
 from __future__ import annotations
 
 import os
-from typing import Iterable
 
 import numpy as np
 
