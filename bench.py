@@ -55,16 +55,21 @@ def main():
     nonmates = np.tile(en / 2500.0, (B, 1))
 
     def mix():
+        # meanEBP over the full classifier (generate_wb_smaps_batched path)
+        wb.net.reset_classifier()
+        Pn_mean = jnp.ones((B, wb.net.num_classes()), jnp.float32)
+        pooled, _ = wb._ebp_pooled_fn()(wb.net.params, probes, Pn_mean)
+        pooled = np.asarray(pooled, np.float32)
+        s1 = [wb._mwp_to_saliency(pooled[i]) for i in range(B)]
+        # contrastive + truncated from one fused device launch
         wb.set_triplet_classifier_batch(mates, nonmates)
-        s1 = wb.ebp_batch(probes)
-        s2 = wb.contrastive_ebp_batch(probes)
-        s3 = wb.contrastive_ebp_batch(probes, truncate_percent=20)
+        s2, s3 = wb.contrastive_ebp_batch_both(probes, truncate_percent=20)
         s4 = []
         for i in range(B):
             wb.net.set_triplet_classifier(em, en)
             s, _, _, _ = wb.weighted_subtree_ebp(
                 probes[i:i + 1], 0, 1, topk=32, subtree_mode="norelu",
-                verbose=False)
+                verbose=False, return_subtree_maps=False)
             s4.append(s)
         return s1 + s2 + s3 + s4
 

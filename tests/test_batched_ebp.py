@@ -48,3 +48,24 @@ def test_batched_matches_per_probe():
                                    rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(batch_trunc[i], singles_trunc[i],
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_fused_both_matches_separate():
+    """contrastive_ebp_batch_both == the two separate batched calls."""
+    wb = make_toy_wbnet(subtree_mode="all", seed=1)
+    rng = np.random.RandomState(1)
+    B = 3
+    probes = jnp.asarray(rng.rand(B, 3, 224, 224), jnp.float32)
+    refs = np.asarray(wb.encode(
+        jnp.asarray(rng.rand(2 * B, 3, 224, 224), jnp.float32)))
+    refs = refs / np.linalg.norm(refs, axis=1, keepdims=True)
+    wb.set_triplet_classifier_batch(refs[:B], refs[B:])
+    sep_con = wb.contrastive_ebp_batch(probes)
+    sep_trunc = wb.contrastive_ebp_batch(probes, truncate_percent=20)
+    both_con, both_trunc = wb.contrastive_ebp_batch_both(
+        probes, truncate_percent=20)
+    for i in range(B):
+        np.testing.assert_allclose(both_con[i], sep_con[i],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(both_trunc[i], sep_trunc[i],
+                                   rtol=1e-5, atol=1e-7)

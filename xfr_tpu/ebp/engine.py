@@ -25,6 +25,25 @@ from xfr_tpu.graph import GraphDef
 from xfr_tpu.ebp import interpreter as I
 
 
+def _percentile_mass_mask(mwp, percentile):
+    """Binary mask keeping the top-(100-percentile)% of MWP *mass*.
+
+    The reference sorts ascending, cumsums, and keeps elements whose
+    cumulative mass reaches percentile% of the total
+    (reference: whitebox.py:550-555).  Equivalent threshold form: find
+    the value at the cumulative-mass cutoff and keep everything >= it —
+    same result up to exact float ties at the boundary (the reference's
+    torch.sort is itself unstable there), but avoids the 800K-element
+    scatter that dominates the TPU cost of the sorted formulation.
+    """
+    flat = mwp.reshape(-1)
+    svals = jnp.sort(flat)
+    csum = jnp.cumsum(svals)
+    target = (percentile / 100.0) * csum[-1]
+    thresh = svals[jnp.argmax(csum >= target)]
+    return (flat >= thresh).astype(flat.dtype).reshape(mwp.shape)
+
+
 class WhiteboxNetwork:
     """A network prepared for whitebox EBP (reference: whitebox.py:25-84).
 
@@ -225,12 +244,7 @@ class Whitebox:
             mate = P[0] / jnp.maximum(P[0].sum(), eps)
             nonmate = P[1] / jnp.maximum(P[1].sum(), eps)
             if truncate:
-                flat = mate.reshape(-1)
-                order = jnp.argsort(flat, stable=True)
-                csum = jnp.cumsum(flat[order])
-                keepers = (csum >= (percentile / 100.0) * csum[-1])
-                mask = jnp.zeros_like(flat).at[order].set(
-                    keepers.astype(flat.dtype)).reshape(mate.shape)
+                mask = _percentile_mass_mask(mate, percentile)
                 diff = jnp.maximum(mask * mate - mask * nonmate, 0)
             else:
                 diff = jnp.maximum(mate - nonmate, 0)
@@ -504,12 +518,7 @@ class Whitebox:
                 mate = mate / jnp.maximum(mate.sum(), eps)
                 nonmate = nonmate / jnp.maximum(nonmate.sum(), eps)
                 if truncate:
-                    flat = mate.reshape(-1)
-                    order = jnp.argsort(flat, stable=True)
-                    csum = jnp.cumsum(flat[order])
-                    keepers = (csum >= (percentile / 100.0) * csum[-1])
-                    mask = jnp.zeros_like(flat).at[order].set(
-                        keepers.astype(flat.dtype)).reshape(mate.shape)
+                    mask = _percentile_mass_mask(mate, percentile)
                     diff = jnp.maximum(mask * mate - mask * nonmate, 0)
                 else:
                     diff = jnp.maximum(mate - nonmate, 0)
@@ -533,6 +542,58 @@ class Whitebox:
         mwp = np.asarray(mwp, np.float32)
         return [self._mwp_to_saliency(mwp[i]) for i in range(B)]
 
+    def _contrastive_both_fn(self):
+        """jitted: contrastive AND truncated-contrastive maps from ONE
+        forward-capture pair + one two-cotangent backward sweep (the two
+        method variants differ only in the final combine — running them as
+        separate engine calls doubles the network passes for nothing)."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        kk = graph.n_events - 2
+
+        @jax.jit
+        def fn(params, x, Pns, percentile):
+            params, x = self._prep(params, x)
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+
+            def bwd(Pn):
+                out = I.ebp_backward(
+                    graph, params, values, posvals, Pn.astype(x.dtype),
+                    subtree_mode=mode, eps=eps, with_bias=wb, keep=(kk,))
+                return out[kk].astype(jnp.float32)
+
+            P = jax.vmap(bwd)(Pns)  # [2, B, C, H, W]
+
+            def combine(mate, nonmate):
+                mate = mate / jnp.maximum(mate.sum(), eps)
+                nonmate = nonmate / jnp.maximum(nonmate.sum(), eps)
+                contr = jnp.maximum(mate - nonmate, 0).sum(axis=0)
+                mask = _percentile_mass_mask(mate, percentile)
+                trunc = jnp.maximum(mask * mate - mask * nonmate,
+                                    0).sum(axis=0)
+                return contr, trunc
+
+            return jax.vmap(combine)(P[0], P[1])
+
+        return self._kernel(("contrastive_both", mode, wb,
+                             str(self.compute_dtype)), lambda: fn)
+
+    def contrastive_ebp_batch_both(self, x, truncate_percent=20):
+        """Batched contrastive + truncated-contrastive in one device launch:
+        x [B,C,H,W] -> (list of B contrastive maps, list of B truncated
+        maps)."""
+        x = jnp.asarray(x, jnp.float32)
+        B = x.shape[0]
+        assert self.net.num_classes() == 2 * B
+        Pns = self._batch_cotangents(B, "contrastive")
+        contr, trunc = self._contrastive_both_fn()(
+            self.net.params, x, Pns, jnp.float32(truncate_percent))
+        contr = np.asarray(contr, np.float32)
+        trunc = np.asarray(trunc, np.float32)
+        return ([self._mwp_to_saliency(contr[i]) for i in range(B)],
+                [self._mwp_to_saliency(trunc[i]) for i in range(B)])
+
     # ------------------------------------------------------------------
     # Weighted subtree EBP
     # ------------------------------------------------------------------
@@ -541,7 +602,7 @@ class Whitebox:
                              topk=1, verbose=False, do_max_subtree=False,
                              do_mated_similarity_gating=True,
                              subtree_mode="norelu", do_mwp_to_saliency=True,
-                             max_candidates=None):
+                             max_candidates=None, return_subtree_maps=True):
         """Weighted subtree EBP (reference: whitebox.py:647-737).
 
         Gradient-gates every backward event to rank subtrees, then runs a
@@ -552,6 +613,11 @@ class Whitebox:
         (None = all n_events-1, exactly matching the reference's sweep;
         the reference discards all but the topk valid anyway, so a small
         multiple of topk is a faithful fast path).
+
+        ``return_subtree_maps=False`` skips the device->host transfer of
+        the topk per-subtree maps (second return value becomes []); the
+        generation pipeline only keeps the merged map, and the transfer is
+        ~50 ms/probe on a slow device link.
         """
         prev_mode = self._ebp_subtree_mode
         self._ebp_subtree_mode = subtree_mode
@@ -559,7 +625,7 @@ class Whitebox:
             return self._weighted_subtree_ebp(
                 img_probe, k_poschannel, k_negchannel, topk, verbose,
                 do_max_subtree, do_mated_similarity_gating,
-                do_mwp_to_saliency, max_candidates)
+                do_mwp_to_saliency, max_candidates, return_subtree_maps)
         finally:
             self._ebp_subtree_mode = prev_mode
 
@@ -583,18 +649,22 @@ class Whitebox:
 
             cot_m = jnp.zeros_like(y).at[0, 0].set(1.0)
             cot_n = jnp.zeros_like(y).at[0, 1].set(1.0)
-            dA_m = I.natural_backward(graph, params, values, cot_m)
-            dA_n = I.natural_backward(graph, params, values, cot_n)
-            if not gating:
-                cot_ce = jax.nn.softmax(y, axis=-1) - cot_m
-                dA_ce = I.natural_backward(graph, params, values, cot_ce)
+            # one batched natural-backward sweep for the 2-3 cotangents
+            # (the reference runs x.backward() serially per loss,
+            # whitebox.py:652-676)
+            if gating:
+                cots = jnp.stack([cot_m, cot_n])
+            else:
+                cots = jnp.stack([jax.nn.softmax(y, axis=-1) - cot_m, cot_n])
+            dAs = jax.vmap(
+                lambda c: I.natural_backward(graph, params, values, c))(cots)
 
             scores, idxs = [], []
             for k in range(n_ev - 1):
                 if gating:
-                    gated = (dA_m[k] >= 0) * (-dA_n[k])
+                    gated = (dAs[k][0] >= 0) * (-dAs[k][1])
                 else:
-                    gated = (dA_ce[k] < 0) * (-dA_n[k])
+                    gated = (dAs[k][0] < 0) * (-dAs[k][1])
                 scores.append(jnp.max(gated))
                 idxs.append(jnp.argmax(gated))
 
@@ -644,6 +714,36 @@ class Whitebox:
         return self._kernel(("wsebp_inject", mode, wb, start_node,
                              str(self.compute_dtype)), lambda: fn)
 
+    def _wsebp_sweep_fn(self, n_buckets=8):
+        """jitted: the full-candidate weighted-subtree sweep in *static
+        event order* (row k = event k), via the natively-batched
+        interpreter walk (I.ebp_backward_allevents).
+
+        Candidate/event order is fixed at trace time, so each event's
+        injection is a single static-row scatter instead of the traced
+        per-candidate scatter+select the vmapped path pays at every event
+        for every row — and contiguous event buckets statically skip the
+        all-zero vjps above each bucket's injection frontier (exact:
+        zero cotangent means zero gradient above the injection point).
+        Score-ordering and topk selection happen on host afterwards,
+        exactly as the reference's argsort-then-filter
+        (whitebox.py:697-717)."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+
+        @jax.jit
+        def fn(params, x, elems, vals):
+            params, x = self._prep(params, x)
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+            return I.ebp_backward_allevents(
+                graph, params, values, posvals, elems,
+                vals.astype(x.dtype), subtree_mode=mode, eps=eps,
+                with_bias=wb, n_buckets=n_buckets)
+
+        return self._kernel(("wsebp_sweep", mode, wb, n_buckets,
+                             str(self.compute_dtype)), lambda: fn)
+
     def _wsebp_buckets(self, n_buckets=6):
         """Static partition of candidate events 0..n_events-2 into buckets
         by fire node, each with its truncation start_node (= max node in
@@ -684,7 +784,7 @@ class Whitebox:
     def _weighted_subtree_ebp(self, img_probe, k_poschannel, k_negchannel,
                               topk, verbose, do_max_subtree,
                               do_mated_similarity_gating, do_mwp_to_saliency,
-                              max_candidates):
+                              max_candidates, return_subtree_maps=True):
         x = self._as_input(img_probe)
         n_ev = self._n_events
         Pn_pos = self._onehot(k_poschannel)
@@ -699,22 +799,27 @@ class Whitebox:
         # (whitebox.py:697); it then keeps the last topk valid entries.
         k_order = np.argsort(P_subtree, kind="stable")
         if max_candidates is not None:
+            # dynamic candidate subset -> traced-injection vmapped sweep
             k_order = k_order[-int(max_candidates):]
-
-        # One flat vmapped sweep over all candidates.  (A bucketed
-        # truncated-walk variant — interpreter start_node +
-        # _wsebp_buckets — is correct but measured slower: the per-bucket
-        # forward recomputes and narrower vmaps cost more than the skipped
-        # above-injection vjps save.)
-        P_img_dev, maxes = self._wsebp_inject_fn()(
-            self.net.params, x,
-            jnp.asarray(k_order.astype(np.int32)),
-            jnp.asarray(P_subtree_idx[k_order].astype(np.int32)),
-            jnp.asarray(inj_vals[k_order]))
+            P_img_dev, maxes = self._wsebp_inject_fn()(
+                self.net.params, x,
+                jnp.asarray(k_order.astype(np.int32)),
+                jnp.asarray(P_subtree_idx[k_order].astype(np.int32)),
+                jnp.asarray(inj_vals[k_order]))
+            lookup = {int(e): i for i, e in enumerate(k_order)}
+        else:
+            # full sweep in static event order: one batched bucketed walk
+            P_img_dev, maxes = self._wsebp_sweep_fn()(
+                self.net.params, x,
+                jnp.asarray(P_subtree_idx.astype(np.int32)),
+                jnp.asarray(inj_vals))
+            lookup = None
         maxes = np.asarray(maxes)  # [cand]; maps stay on device
 
         def fetch(events):
-            lookup = {int(e): i for i, e in enumerate(k_order)}
+            if lookup is None:
+                return P_img_dev[jnp.asarray(
+                    np.asarray([int(e) for e in events], np.int32))]
             return P_img_dev[jnp.asarray(
                 np.asarray([lookup[int(e)] for e in events], np.int32))]
 
@@ -725,10 +830,15 @@ class Whitebox:
 
         # Valid-subtree selection (reference: whitebox.py:706-717).
         # k==1 excluded: the Multiply() layer event on STR-Janus.
-        k_valid = maxes > 0
-        sel_pos = [i for i, (k, v) in enumerate(zip(k_order, k_valid))
-                   if v and k != 1][-topk:]
-        k_subtree_valid = [int(k_order[i]) for i in sel_pos]
+        # ``maxes`` indexing: event order for the full sweep, k_order
+        # position for the max_candidates path.
+        if lookup is None:
+            max_of_event = maxes
+        else:
+            max_of_event = np.zeros(n_ev - 1, maxes.dtype)
+            max_of_event[k_order] = maxes
+        k_subtree_valid = [int(k) for k in k_order
+                           if max_of_event[k] > 0 and k != 1][-topk:]
         if len(k_subtree_valid) == 0:
             raise RuntimeError(
                 "Failed to calculate valid subtrees. The ebp subtree mode "
@@ -745,8 +855,11 @@ class Whitebox:
             sel_maps, jnp.arange(len(k_subtree_valid)),
             jnp.asarray(np.asarray(norm, np.float32)))
         smap = np.asarray(smap_dev, np.float32)
-        P_img_valid = [np.squeeze(p).astype(np.float32)
-                       for p in np.asarray(maps_dev)]
+        if return_subtree_maps:
+            P_img_valid = [np.squeeze(p).astype(np.float32)
+                           for p in np.asarray(maps_dev)]
+        else:
+            P_img_valid = []
 
         if self.convert_saliency_uint8:
             smap = self._float32_to_uint8(smap)

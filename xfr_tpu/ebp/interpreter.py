@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from xfr_tpu import ops as O
@@ -217,6 +218,135 @@ def ebp_backward(
             grads[i] = c if grads[i] is None else grads[i] + c
     _finalize(graph.input_id)
     return out
+
+
+def ebp_backward_allevents(
+    graph: GraphDef,
+    params,
+    values,
+    posvals,
+    elems,
+    vals,
+    *,
+    subtree_mode: str,
+    eps: float = 1e-16,
+    with_bias: bool = False,
+    n_buckets: int = 1,
+    out_event: Optional[int] = None,
+):
+    """Batched prior-injected backward: one walk row per candidate event.
+
+    The weighted-subtree sweep evaluates a one-hot prior injection at
+    EVERY event 0..n_events-2 (reference: whitebox.py:699-703 runs these
+    serially).  Because candidate k injects exactly at event k, the
+    injection row at each event is *static* — so instead of vmapping
+    n_events independent walks each carrying a traced (event_id, elem,
+    val) triple (which lowers to a full-tensor scatter + select at every
+    event for every row), this runs natively-batched walks where event k
+    costs one single-row scatter.
+
+    ``elems``/``vals`` are [n_events-1] traced arrays: flat element index
+    and injection value per candidate (row k = event k).
+
+    ``n_buckets`` splits the candidate rows into contiguous event ranges.
+    ``graph.event_node`` is non-increasing in event index, so rows of a
+    bucket share a truncation point: with a zero output cotangent the
+    gradient above the bucket's first node is identically zero and those
+    vjps are statically skipped.  All buckets share ``values``/``posvals``
+    (one forward, one dispatch) — this is what the round-1 per-jit
+    bucketing attempt lost.
+
+    Returns (P_out [n_events-1, *out_shape], maxes [n_events-1]) where
+    P_out is the channel-summed MWP at ``out_event`` (default: the
+    saliency plane, n_events-2) and maxes are per-row map maxima for
+    host-side validity selection.
+    """
+    _check_mode(graph, subtree_mode)
+    n_cand = graph.n_events - 1
+    kk = (graph.n_events - 2) if out_event is None else out_event
+
+    ev_by_key = {(e.tensor, e.consumer, e.slot): e for e in graph.events}
+
+    # Contiguous buckets of candidate rows (ascending event index).
+    n_buckets = max(1, min(n_buckets, n_cand))
+    size = -(-n_cand // n_buckets)
+    bucket_ranges = [(lo, min(lo + size, n_cand))
+                     for lo in range(0, n_cand, size)]
+
+    outs, maxes = [], []
+    for lo, hi in bucket_ranges:
+        nb = hi - lo
+        start_node = graph.event_node[lo]
+        grads = [None] * graph.n_tensors
+
+        def _finalize(t, grads=grads, lo=lo, hi=hi):
+            g = grads[t]
+            for (ci, slot, at, xt) in graph.hooks_on(t):
+                ev = ev_by_key[(t, ci, slot)]
+                if g is None:
+                    # above/at the truncation frontier: gradient is
+                    # identically zero for every row of this bucket
+                    if not (lo <= ev.idx < hi):
+                        continue
+                    g = jnp.zeros((nb, *values[t].shape), values[t].dtype)
+                a = jnp.maximum(values[at], 0)
+                xp = jnp.maximum(posvals[xt], 0)
+                z = g
+                zh = jnp.maximum(z, 0)
+                p = a * zh  # [nb, 1, ...]
+                inj_row = ev.idx - lo if lo <= ev.idx < hi else None
+                if inj_row is not None:
+                    # Fully-fusable injection: static one-hot row selector
+                    # (broadcast, constant) x on-the-fly iota one-hot — no
+                    # scatter, no batched-tensor copy, zero extra HBM
+                    # traffic beyond the p read already happening.
+                    rshape = p.shape[1:]
+                    rowsel = jnp.zeros((nb,) + (1,) * len(rshape),
+                                       p.dtype).at[inj_row].set(1)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (p[0].size, 1), 0).reshape(rshape)
+                    onehot = jnp.where(iota == elems[ev.idx],
+                                       vals[ev.idx].astype(p.dtype), 0)
+                    p = p * (1 - rowsel) + rowsel * onehot
+                    rowsel_b = rowsel > 0
+                if subtree_mode == "affineonly":
+                    g2 = p / (xp + eps) if ev.is_affine else z
+                elif subtree_mode == "affineonly_with_prior":
+                    pm, zm = p, zh
+                    if inj_row is not None:
+                        pm = jnp.where(rowsel_b, (p > 0) * p, p)
+                        zm = jnp.where(rowsel_b, (p > 0) * z, zh)
+                    g2 = pm / (xp + eps) if ev.is_affine else zm
+                elif subtree_mode == "norelu":
+                    g2 = p / (xp + eps)
+                    if ev.is_poolrelu and inj_row is not None:
+                        g2 = jnp.where(rowsel_b, z, g2)
+                elif subtree_mode == "all":
+                    g2 = p / (xp + eps)
+                if ev.idx == kk:
+                    outs.append(p.astype(jnp.float32).sum(axis=2))
+                g = g2
+            grads[t] = g
+
+        for ni in range(start_node, -1, -1):
+            node = graph.nodes[ni]
+            _finalize(node.out)
+            g = grads[node.out]
+            if g is None:
+                continue
+            p = params.get(node.pname, {}) if node.pname else {}
+            if node.hooked:
+                p = O.positive_params(node.op, p, with_bias=with_bias)
+            xs = tuple(values[i] for i in node.ins)
+            fn = lambda *inputs: O.OPS[node.op](p, inputs, **node.attrs_dict)
+            _, vjp_fn = jax.vjp(fn, *xs)
+            contribs = jax.vmap(vjp_fn)(g)
+            for i, c in zip(node.ins, contribs):
+                grads[i] = c if grads[i] is None else grads[i] + c
+        _finalize(graph.input_id)
+
+    P_out = jnp.concatenate(outs, axis=0)  # [n_cand, 1, H, W]
+    return P_out, P_out.max(axis=(1, 2, 3))
 
 
 def natural_backward(

@@ -104,7 +104,7 @@ def run_weighted_subtree_triplet_ebp(wb, im_mates, im_nonmates, probe_im,
     img_subtree, _, _, _ = wb.weighted_subtree_ebp(
         img_probe, k_poschannel=0, k_negchannel=1, topk=topk,
         subtree_mode=subtree_mode_weighted, verbose=False,
-        max_candidates=max_candidates, **flags)
+        max_candidates=max_candidates, return_subtree_maps=False, **flags)
     return img_subtree
 
 
@@ -405,8 +405,8 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
         if any(j["todo"]["contrastive"] for j in group) or \
                 any(j["todo"]["trunc"] for j in group):
             wb.set_triplet_classifier_batch(mates_b, nonmates_b)
-            cons = wb.contrastive_ebp_batch(x)
-            truncs = wb.contrastive_ebp_batch(x, truncate_percent=20)
+            cons, truncs = wb.contrastive_ebp_batch_both(
+                x, truncate_percent=20)
             for i, j in enumerate(group):
                 if j["todo"]["contrastive"]:
                     _write(j, "contrastive", cons[i])
@@ -423,6 +423,7 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
             smap, _, _, _ = wb.weighted_subtree_ebp(
                 x[i:i + 1], 0, 1, topk=32,
                 subtree_mode=subtree_mode_weighted, verbose=False,
-                max_candidates=wsebp_max_candidates, **flags)
+                max_candidates=wsebp_max_candidates,
+                return_subtree_maps=False, **flags)
             _write(j, "weighted-subtree", smap)
     return len(pend)
