@@ -32,6 +32,10 @@ def main():
     from xfr_tpu.models import create_wbnet
 
     wb = create_wbnet("resnetv6_pytorch")
+    # production default: weighted-subtree sweep in bfloat16
+    # (xfr-generate-wb-saliency --wsebp-dtype bfloat16), everything else
+    # float32
+    wb.wsebp_dtype = jnp.bfloat16
     rng = np.random.RandomState(0)
     probe = jnp.asarray(rng.rand(1, 3, 224, 224) * 50, jnp.float32)
     mates = jnp.asarray(rng.rand(2, 3, 224, 224) * 50, jnp.float32)
@@ -64,13 +68,11 @@ def main():
         # contrastive + truncated from one fused device launch
         wb.set_triplet_classifier_batch(mates, nonmates)
         s2, s3 = wb.contrastive_ebp_batch_both(probes, truncate_percent=20)
-        s4 = []
-        for i in range(B):
-            wb.net.set_triplet_classifier(em, en)
-            s, _, _, _ = wb.weighted_subtree_ebp(
-                probes[i:i + 1], 0, 1, topk=32, subtree_mode="norelu",
-                verbose=False, return_subtree_maps=False)
-            s4.append(s)
+        wb.set_triplet_classifier_batch(np.tile(em, (B, 1)),
+                                        np.tile(en, (B, 1)))
+        s4 = [r[0] for r in wb.weighted_subtree_ebp_batch(
+            probes, topk=32, subtree_mode="norelu",
+            return_subtree_maps=False)]
         return s1 + s2 + s3 + s4
 
     mix()  # warmup / compile

@@ -45,3 +45,30 @@ def test_bf16_matches_f32_structure():
     assert np.isfinite(m16).all()
     # subtree ranking should broadly agree
     assert len(set(k32) & set(k16)) >= 2, (k32, k16)
+
+
+def test_wsebp_dtype_bf16_quality_gate():
+    """wsebp_dtype=bfloat16 (generation CLI default) keeps f32 numerics
+    everywhere except the candidate sweep; the merged weighted-subtree
+    map must stay structurally equal to the all-f32 map."""
+    wb32 = make_toy_wbnet(subtree_mode="all", seed=2)
+    wb16 = make_toy_wbnet(subtree_mode="all", seed=2)
+    wb16.wsebp_dtype = jnp.bfloat16
+
+    rng = np.random.RandomState(2)
+    probe = jnp.asarray(rng.rand(1, 3, 224, 224), jnp.float32)
+    e = np.asarray(wb32.encode(jnp.asarray(rng.rand(2, 3, 224, 224),
+                                           jnp.float32)))
+    em, en = (e[0] / np.linalg.norm(e[0])), (e[1] / np.linalg.norm(e[1]))
+    for wb in (wb32, wb16):
+        wb.net.set_triplet_classifier(em, en)
+    m32, _, sc32, k32 = wb32.weighted_subtree_ebp(
+        probe, 0, 1, topk=3, subtree_mode="all")
+    m16, _, sc16, k16 = wb16.weighted_subtree_ebp(
+        probe, 0, 1, topk=3, subtree_mode="all")
+    # ranking pass runs f32 in both: identical scores
+    np.testing.assert_allclose(sc16, sc32, rtol=1e-6)
+    # selection (maxes>0 from the bf16 sweep) must broadly agree
+    assert len(set(k32) & set(k16)) >= 2, (k32, k16)
+    corr = np.corrcoef(m32.ravel(), m16.ravel())[0, 1]
+    assert corr > 0.98, corr

@@ -64,3 +64,37 @@ def test_weighted_subtree_end_to_end_unchanged():
     np.testing.assert_allclose(s_new, s_old, rtol=1e-4, atol=1e-8)
     for a, b in zip(maps_new, maps_old):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.parametrize("gating", [True, False])
+def test_weighted_subtree_batch_matches_single(gating):
+    """weighted_subtree_ebp_batch under the interleaved classifier equals
+    per-probe weighted_subtree_ebp with each probe's 2-class classifier."""
+    wb = make_toy_wbnet(num_classes=4, seed=5, subtree_mode="all")
+    rng = np.random.RandomState(11)
+    B = 3
+    probes = jnp.asarray(rng.rand(B, 3, 224, 224), jnp.float32)
+    ems = rng.rand(B, 12).astype(np.float32)
+    ens = rng.rand(B, 12).astype(np.float32)
+    ems /= np.linalg.norm(ems, axis=1, keepdims=True)
+    ens /= np.linalg.norm(ens, axis=1, keepdims=True)
+
+    singles = []
+    for i in range(B):
+        wb.net.set_triplet_classifier(ems[i], ens[i])
+        singles.append(wb.weighted_subtree_ebp(
+            probes[i:i + 1], 0, 1, topk=3, subtree_mode="all",
+            do_mated_similarity_gating=gating))
+
+    wb.set_triplet_classifier_batch(ems, ens)
+    batch = wb.weighted_subtree_ebp_batch(
+        probes, topk=3, subtree_mode="all",
+        do_mated_similarity_gating=gating, return_subtree_maps=True)
+
+    for (s_s, maps_s, sc_s, k_s), (s_b, maps_b, sc_b, k_b) in zip(
+            singles, batch):
+        assert k_s == k_b
+        np.testing.assert_allclose(sc_b, sc_s, rtol=1e-5)
+        np.testing.assert_allclose(s_b, s_s, rtol=1e-4, atol=1e-7)
+        for a, b in zip(maps_s, maps_b):
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7)

@@ -104,17 +104,25 @@ class Whitebox:
 
     def __init__(self, net: WhiteboxNetwork, ebp_version=None, with_bias=None,
                  eps=1e-16, ebp_subtree_mode="affineonly_with_prior",
-                 compute_dtype=None):
+                 compute_dtype=None, wsebp_dtype=None):
         """compute_dtype: optional jnp dtype (e.g. jnp.bfloat16) for the
         on-device EBP compute; MWP outputs are cast back to float32.  The
         default float32 matches the reference numerics; bfloat16 roughly
         halves device time on the big vmapped passes.  Caveat: contrastive
         variants subtract nearly-equal distributions, which amplifies bf16
         rounding (maps stay structurally similar but visibly perturbed) —
-        prefer bf16 for meanEBP / weighted-subtree only."""
+        prefer bf16 for meanEBP / weighted-subtree only.
+
+        wsebp_dtype: compute dtype for the weighted-subtree candidate
+        sweep only (defaults to compute_dtype).  The sweep dominates
+        generation wall-clock and its maps feed a blur+normalize+merge,
+        so bfloat16 here is quality-gated safe
+        (tests/test_compute_dtype.py) while the contrastive paths stay
+        float32."""
         assert isinstance(net, WhiteboxNetwork)
         self.net = net
         self.compute_dtype = compute_dtype or jnp.float32
+        self.wsebp_dtype = wsebp_dtype
         self.eps = float(eps)
         self.ebp_ver = 6 if ebp_version is None else ebp_version
         if self.ebp_ver < 4:
@@ -142,12 +150,17 @@ class Whitebox:
     # Core jitted kernels
     # ------------------------------------------------------------------
 
-    def _prep(self, params, x):
+    def _prep(self, params, x, dtype=None):
         """Cast params/input to the compute dtype inside a jit."""
-        if self.compute_dtype == jnp.float32:
+        dtype = dtype or self.compute_dtype
+        if dtype == jnp.float32:
             return params, x
-        cast = lambda a: a.astype(self.compute_dtype)
+        cast = lambda a: a.astype(dtype)
         return jax.tree.map(cast, params), cast(x)
+
+    @property
+    def _wsebp_dtype(self):
+        return self.wsebp_dtype or self.compute_dtype
 
     def _kernel(self, key, builder):
         fn = self._jit_cache.get(key)
@@ -691,9 +704,11 @@ class Whitebox:
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         kk = graph.n_events - 2
 
+        sweep_dt = self._wsebp_dtype
+
         @jax.jit
         def fn(params, x, ev_ids, elems, vals):
-            params, x = self._prep(params, x)
+            params, x = self._prep(params, x, sweep_dt)
             values = I.forward_clean(graph, params, x)
             posvals = I.forward_positive(graph, params, values, with_bias=wb)
             zero_cot = jnp.zeros_like(values[graph.output_id])
@@ -712,9 +727,9 @@ class Whitebox:
             return P_img, P_img.max(axis=(1, 2, 3))
 
         return self._kernel(("wsebp_inject", mode, wb, start_node,
-                             str(self.compute_dtype)), lambda: fn)
+                             str(sweep_dt)), lambda: fn)
 
-    def _wsebp_sweep_fn(self, n_buckets=8):
+    def _wsebp_sweep_fn(self, n_buckets=12):
         """jitted: the full-candidate weighted-subtree sweep in *static
         event order* (row k = event k), via the natively-batched
         interpreter walk (I.ebp_backward_allevents).
@@ -730,10 +745,11 @@ class Whitebox:
         (whitebox.py:697-717)."""
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        sweep_dt = self._wsebp_dtype
 
         @jax.jit
         def fn(params, x, elems, vals):
-            params, x = self._prep(params, x)
+            params, x = self._prep(params, x, sweep_dt)
             values = I.forward_clean(graph, params, x)
             posvals = I.forward_positive(graph, params, values, with_bias=wb)
             return I.ebp_backward_allevents(
@@ -742,7 +758,7 @@ class Whitebox:
                 with_bias=wb, n_buckets=n_buckets)
 
         return self._kernel(("wsebp_sweep", mode, wb, n_buckets,
-                             str(self.compute_dtype)), lambda: fn)
+                             str(sweep_dt)), lambda: fn)
 
     def _wsebp_buckets(self, n_buckets=6):
         """Static partition of candidate events 0..n_events-2 into buckets
@@ -781,20 +797,117 @@ class Whitebox:
 
         return self._kernel(("wsebp_merge", bool(do_max)), lambda: fn)
 
+    def _wsebp_grad_batch_fn(self):
+        """jitted: per-probe subtree scores/argmaxes/injection values for a
+        probe batch under the interleaved [2B, D] triplet classifier.
+
+        The EBP/natural backward rules are all per-sample independent, so
+        a [B, 2B] cotangent batch with each probe's rows selected yields
+        exactly the per-probe single runs (same argument as the batched
+        mean/contrastive paths, tests/test_batched_ebp.py) in one launch.
+        """
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        n_ev = graph.n_events
+
+        @partial(jax.jit, static_argnames=("gating",))
+        def fn(params, x, gating):
+            B = x.shape[0]
+            values = I.forward_clean(graph, params, x)
+            y = values[graph.output_id]  # [B, 2B]
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+
+            ii = jnp.arange(B)
+            cot_m = jnp.zeros_like(y).at[ii, 2 * ii].set(1.0)
+            cot_n = jnp.zeros_like(y).at[ii, 2 * ii + 1].set(1.0)
+            if gating:
+                cots = jnp.stack([cot_m, cot_n])
+            else:
+                # per-probe softmax over each probe's own two logits
+                pair = jnp.stack([y[ii, 2 * ii], y[ii, 2 * ii + 1]], -1)
+                sm = jax.nn.softmax(pair, axis=-1)
+                cot_ce = (jnp.zeros_like(y)
+                          .at[ii, 2 * ii].set(sm[:, 0] - 1.0)
+                          .at[ii, 2 * ii + 1].set(sm[:, 1]))
+                cots = jnp.stack([cot_ce, cot_n])
+            dAs = jax.vmap(
+                lambda c: I.natural_backward(graph, params, values, c))(cots)
+
+            scores, idxs = [], []
+            for k in range(n_ev - 1):
+                a, b = dAs[k][0], dAs[k][1]
+                gated = ((a >= 0) * (-b)) if gating else ((a < 0) * (-b))
+                flat = gated.reshape(B, -1)
+                scores.append(jnp.max(flat, axis=1))
+                idxs.append(jnp.argmax(flat, axis=1))
+
+            P_mate = I.ebp_backward(
+                graph, params, values, posvals, cot_m, subtree_mode=mode,
+                eps=eps, with_bias=wb, keep=tuple(range(n_ev - 1)))
+            vals = [jnp.take_along_axis(
+                        P_mate[k].reshape(B, -1), idxs[k][:, None],
+                        axis=1)[:, 0]
+                    for k in range(n_ev - 1)]
+            # [B, n_ev-1] each
+            return (jnp.stack(scores, 1), jnp.stack(idxs, 1),
+                    jnp.stack(vals, 1))
+
+        return self._kernel(("wsebp_grad_batch", mode, wb,
+                             str(self.compute_dtype)), lambda: fn)
+
+    def weighted_subtree_ebp_batch(self, x, topk=1, verbose=False,
+                                   do_max_subtree=False,
+                                   do_mated_similarity_gating=True,
+                                   subtree_mode="norelu",
+                                   do_mwp_to_saliency=True,
+                                   return_subtree_maps=False):
+        """Weighted-subtree EBP for a probe batch under the interleaved
+        batch triplet classifier (set_triplet_classifier_batch): the
+        subtree-ranking gradient pass runs once for the whole batch; the
+        per-probe candidate sweeps and merges follow.  Per-probe results
+        match weighted_subtree_ebp with that probe's 2-class classifier.
+
+        Returns a list of (smap, P_img_valid, P_subtree_valid,
+        k_subtree_valid) tuples."""
+        x = jnp.asarray(x, jnp.float32)
+        B = x.shape[0]
+        assert self.net.num_classes() == 2 * B, \
+            "call set_triplet_classifier_batch matching the probe batch"
+        prev_mode = self._ebp_subtree_mode
+        self._ebp_subtree_mode = subtree_mode
+        try:
+            scores, idxs, vals = self._wsebp_grad_batch_fn()(
+                self.net.params, x,
+                gating=bool(do_mated_similarity_gating))
+            scores = np.asarray(scores, np.float32)
+            idxs = np.asarray(idxs)
+            vals = np.asarray(vals, np.float32)
+            return [self._wsebp_post(
+                        x[i:i + 1], scores[i], idxs[i], vals[i], topk,
+                        verbose, do_max_subtree, do_mwp_to_saliency,
+                        None, return_subtree_maps)
+                    for i in range(B)]
+        finally:
+            self._ebp_subtree_mode = prev_mode
+
     def _weighted_subtree_ebp(self, img_probe, k_poschannel, k_negchannel,
                               topk, verbose, do_max_subtree,
                               do_mated_similarity_gating, do_mwp_to_saliency,
                               max_candidates, return_subtree_maps=True):
         x = self._as_input(img_probe)
-        n_ev = self._n_events
         Pn_pos = self._onehot(k_poschannel)
 
         scores, idxs, vals = self._wsebp_grad_fn()(
             self.net.params, x, Pn_pos, gating=bool(do_mated_similarity_gating))
-        P_subtree = np.asarray(scores, np.float32)
-        P_subtree_idx = np.asarray(idxs)
-        inj_vals = np.asarray(vals, np.float32)
+        return self._wsebp_post(
+            x, np.asarray(scores, np.float32), np.asarray(idxs),
+            np.asarray(vals, np.float32), topk, verbose, do_max_subtree,
+            do_mwp_to_saliency, max_candidates, return_subtree_maps)
 
+    def _wsebp_post(self, x, P_subtree, P_subtree_idx, inj_vals, topk,
+                    verbose, do_max_subtree, do_mwp_to_saliency,
+                    max_candidates, return_subtree_maps):
+        n_ev = self._n_events
         # Candidate order: ascending score, like the reference's argsort
         # (whitebox.py:697); it then keeps the last topk valid entries.
         k_order = np.argsort(P_subtree, kind="stable")

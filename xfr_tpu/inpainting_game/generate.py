@@ -416,14 +416,28 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
         flags = _WSEBP_FLAGS.get(ebp_ver,
                                  dict(do_max_subtree=False,
                                       do_mated_similarity_gating=False))
-        for i, j in enumerate(group):
-            if not j["todo"]["weighted-subtree"]:
-                continue
-            wb.net.set_triplet_classifier(j["em"], j["en"])
-            smap, _, _, _ = wb.weighted_subtree_ebp(
-                x[i:i + 1], 0, 1, topk=32,
-                subtree_mode=subtree_mode_weighted, verbose=False,
-                max_candidates=wsebp_max_candidates,
-                return_subtree_maps=False, **flags)
-            _write(j, "weighted-subtree", smap)
+        if any(j["todo"]["weighted-subtree"] for j in group):
+            if wsebp_max_candidates is None:
+                # batched ranking pass + per-probe static sweeps (one
+                # shape -> one compile per group size)
+                wb.set_triplet_classifier_batch(
+                    np.stack([j["em"] for j in group]),
+                    np.stack([j["en"] for j in group]))
+                results = wb.weighted_subtree_ebp_batch(
+                    x, topk=32, subtree_mode=subtree_mode_weighted,
+                    verbose=False, return_subtree_maps=False, **flags)
+                for j, (smap, _, _, _) in zip(group, results):
+                    if j["todo"]["weighted-subtree"]:
+                        _write(j, "weighted-subtree", smap)
+            else:
+                for i, j in enumerate(group):
+                    if not j["todo"]["weighted-subtree"]:
+                        continue
+                    wb.net.set_triplet_classifier(j["em"], j["en"])
+                    smap, _, _, _ = wb.weighted_subtree_ebp(
+                        x[i:i + 1], 0, 1, topk=32,
+                        subtree_mode=subtree_mode_weighted, verbose=False,
+                        max_candidates=wsebp_max_candidates,
+                        return_subtree_maps=False, **flags)
+                    _write(j, "weighted-subtree", smap)
     return len(pend)
