@@ -178,6 +178,26 @@ def truncated_contrastive_triplet_ebp(wb):
           _blend(disp, s))
 
 
+def layerwise_ebp(wb, stride=37):
+    """EBP montage starting from each interior layer's argmax node
+    (reference: demo/test_whitebox.py:146-169 — deprecated there and
+    raises immediately; this is a working re-implementation over a
+    strided subset of the event schedule).  Tiles are ordered row-wise by
+    layer, approaching the image layer at the bottom right."""
+    x_probe = wb.net.preprocess(_demo_face())
+    disp = _demo_face().resize((112, 112))
+    n = wb._n_events
+    ks = list(range(0, n - 1, stride))
+    tiles = []
+    for k in ks:
+        print("[test_layerwise_ebp][%d/%d]: layerwise EBP '%s'"
+              % (k, n, wb.P_layername[k]))
+        s = wb.layerwise_ebp(x_probe, k_layer=k, k_poschannel=0,
+                             mode="argmax", mwp=False)
+        tiles.append(_blend(disp, np.float32(s) / max(np.max(s), 1e-12)))
+    _save("test_whitebox_layerwise_ebp.jpg", _montage(tiles))
+
+
 def weighted_subtree_triplet_ebp(wb, topk=64, mask="nose",
                                  max_candidates=None):
     """Weighted subtree EBP + montage of selected subtrees
@@ -243,6 +263,9 @@ def main(argv=None):
     triplet_ebp(wb)
     contrastive_triplet_ebp(wb)
     truncated_contrastive_triplet_ebp(wb)
+    if not args.quick:
+        layerwise_ebp(create_wbnet(args.net, ebp_version=5,
+                                   ebp_subtree_mode="all"))
 
     masks = ["nose"] if args.quick else ["nose", "eyes", "mouth"]
     for mask in masks:

@@ -91,3 +91,82 @@ def test_sharded_blackbox_scoring_matches():
     out = np.asarray(score(params_r, masks_sh,
                            *replicate(mesh, (probe, fill, gal))))[:n]
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_production_batched_paths_under_mesh():
+    """The PRODUCTION entry points (Whitebox.use_mesh + embeddings /
+    ebp_batch / contrastive_ebp_batch_both / weighted_subtree_ebp_batch)
+    give identical results with the probe batch sharded over the dp mesh,
+    including a non-divisible batch (padded classifier rows)."""
+    from tests.fixtures import make_toy_wbnet
+
+    rng = np.random.RandomState(3)
+    B = 6  # deliberately not divisible by 8: exercises padding
+    probes = jnp.asarray(rng.rand(B, 3, 224, 224), jnp.float32)
+    ems = rng.rand(B, 12).astype(np.float32)
+    ens = rng.rand(B, 12).astype(np.float32)
+    ems /= np.linalg.norm(ems, axis=1, keepdims=True)
+    ens /= np.linalg.norm(ens, axis=1, keepdims=True)
+
+    def run(wb):
+        wb.set_triplet_classifier_batch(ems, ens)
+        mean = wb.ebp_batch(probes)
+        cons, truncs = wb.contrastive_ebp_batch_both(probes, 20)
+        ws = [r[0] for r in wb.weighted_subtree_ebp_batch(
+            probes, topk=3, subtree_mode="all")]
+        emb = wb.embeddings(np.asarray(probes))
+        return mean, cons, truncs, ws, emb
+
+    ref = run(make_toy_wbnet(subtree_mode="all", seed=4))
+
+    wb = make_toy_wbnet(subtree_mode="all", seed=4)
+    wb.use_mesh(make_mesh((8, 1), ("dp", "mp")))
+    out = run(wb)
+
+    np.testing.assert_allclose(out[4], ref[4], rtol=1e-5, atol=1e-6)
+    for a, b in zip(ref[:4], out[:4]):
+        for ma, mb in zip(a, b):
+            np.testing.assert_allclose(mb, ma, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_strise_score_masks_under_mesh():
+    """STRise(mesh=...) shards the fused mask-scoring chunks over dp and
+    reproduces the single-device scores and saliency map."""
+    from xfr_tpu.blackbox import STRise
+    from tests.fixtures import make_toy_wbnet
+
+    rng = np.random.RandomState(5)
+    probe = (rng.rand(224, 224, 3) * 255).astype(np.uint8)
+    refs = [(rng.rand(224, 224, 3) * 255).astype(np.uint8)
+            for _ in range(2)]
+    gallery = [(rng.rand(224, 224, 3) * 255).astype(np.uint8)
+               for _ in range(2)]
+    wb = make_toy_wbnet(seed=6)
+
+    def build(mesh):
+        s = STRise(probe=probe, refs=refs, gallery=gallery,
+                   black_box="resnetv4_pytorch",
+                   net_dict={("resnetv4_pytorch", 6): wb},
+                   prior_type="uniform", num_masks=64, mask_scale=12,
+                   num_mask_elements=2, seed=0, batch_size=16, mesh=mesh)
+        s.evaluate()
+        return s
+
+    ref = build(None)
+    # fresh engine per run: use_mesh mutates placement in-place
+    wb2 = make_toy_wbnet(seed=6)
+    sh = STRise(probe=probe, refs=refs, gallery=gallery,
+                black_box="resnetv4_pytorch",
+                net_dict={("resnetv4_pytorch", 6): wb2},
+                prior_type="uniform", num_masks=64, mask_scale=12,
+                num_mask_elements=2, seed=0, batch_size=16,
+                mesh=make_mesh((8, 1), ("dp", "mp")))
+    sh.evaluate()
+
+    np.testing.assert_allclose(sh.masked_probe_ref_scores,
+                               ref.masked_probe_ref_scores,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sh.saliency_map, ref.saliency_map,
+                               rtol=1e-4, atol=1e-6)

@@ -62,7 +62,8 @@ class STRise:
                  seed=0,
                  batch_size=256,
                  net_dict=None,
-                 use_pallas_blend=False):
+                 use_pallas_blend=False,
+                 mesh=None):
         self.priors = {"mean_ebp": self.mean_ebp_prior,
                        "uniform": self.uniform_prior}
         self.black_boxes = {"resnetv4_pytorch": self.resnet_bb_fn,
@@ -79,6 +80,14 @@ class STRise:
         self.resnet_net = None
         self._key = jax.random.PRNGKey(seed)
         self.batch_size = batch_size
+        # Optional jax.sharding.Mesh: the mask-scoring chunks shard over
+        # the 'dp' axis so one process drives a whole slice (SURVEY.md
+        # §2.8 — the TPU replacement for the reference's per-GPU process
+        # pool).  Scoring is per-mask independent: zero collectives.
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            self.batch_size = -(-self.batch_size // dp) * dp
         # Pallas fused upsample+shift+blend+preprocess: skips materializing
         # the [N,H,W] float mask tensor in HBM (xfr_tpu/blackbox/pallas_blend)
         self.use_pallas_blend = use_pallas_blend
@@ -337,6 +346,23 @@ class STRise:
         self._fused_scorer_pallas_fn = score_chunk
         return score_chunk
 
+    def _dp_put(self, a, axis=0):
+        """Shard dim ``axis`` of ``a`` over the mesh 'dp' axis (identity
+        without a mesh)."""
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = [None] * a.ndim
+        spec[axis] = "dp"
+        return jax.device_put(a, NamedSharding(self.mesh,
+                                               PartitionSpec(*spec)))
+
+    def _rep_put(self, a):
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.device_put(a, NamedSharding(self.mesh, PartitionSpec()))
+
     def score_masks(self):
         builtin = self.black_box in self.black_boxes if self.black_box \
             else False
@@ -346,6 +372,8 @@ class STRise:
                 self.resnet_net = self._get_net(self.black_box,
                                                 ebp_version=6)
             wb = self.resnet_net
+            if self.mesh is not None and wb.mesh is not self.mesh:
+                wb.use_mesh(self.mesh)
             ref_e = self._embed_collection(wb, self.refs)
             gal_e = self._embed_collection(wb, self.gallery)
             self.original_probe_ref_scores = _l2_similarity(
@@ -353,9 +381,10 @@ class STRise:
             self.original_probe_gallery_scores = _l2_similarity(
                 self._embed_collection(wb, [self.probe]), gal_e)
 
-            probe = jnp.asarray(self.probe, jnp.float32)
-            ref_e_d = jnp.asarray(ref_e, jnp.float32)
-            gal_e_d = jnp.asarray(gal_e, jnp.float32)
+            probe = self._rep_put(jnp.asarray(self.probe, jnp.float32))
+            ref_e_d = self._rep_put(jnp.asarray(ref_e, jnp.float32))
+            gal_e_d = self._rep_put(jnp.asarray(gal_e, jnp.float32))
+            fill_d = self._rep_put(self._fill_dev)
             n, bs = self.num_masks, self.batch_size
             ref_chunks, gal_chunks = [], []
             pad = (-n) % bs
@@ -379,12 +408,14 @@ class STRise:
                                           masks.dtype)])
             for i in range(0, n + pad, bs):
                 if use_pallas:
-                    rs, gs = scorer(wb.net.params, grids[i:i + bs],
-                                    shifts[i:i + bs], probe,
-                                    self._fill_dev, ref_e_d, gal_e_d)
+                    rs, gs = scorer(wb.net.params,
+                                    self._dp_put(grids[i:i + bs]),
+                                    self._dp_put(shifts[i:i + bs]), probe,
+                                    fill_d, ref_e_d, gal_e_d)
                 else:
-                    rs, gs = scorer(wb.net.params, masks[i:i + bs], probe,
-                                    self._fill_dev, ref_e_d, gal_e_d)
+                    rs, gs = scorer(wb.net.params,
+                                    self._dp_put(masks[i:i + bs]), probe,
+                                    fill_d, ref_e_d, gal_e_d)
                 # keep on device: dispatches pipeline asynchronously
                 ref_chunks.append(rs)
                 gal_chunks.append(gs)

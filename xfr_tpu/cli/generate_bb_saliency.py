@@ -47,12 +47,18 @@ def main(argv=None):
                         default=["resnetv4_pytorch"])
     parser.add_argument("--rise-scale", type=int, default=12)
     parser.add_argument("--num-masks", type=int, default=6500)
+    parser.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                        help="auto: shard mask-scoring chunks over all "
+                             "visible devices; off: single-device")
     parser.add_argument("--prior", dest="prior_type", default="mean_ebp",
                         choices=["mean_ebp", "uniform"])
     args = parser.parse_args(argv)
 
     from xfr_tpu.models import create_wbnet
     from xfr_tpu.inpainting_game.generate import generate_bb_smaps
+    from xfr_tpu.parallel.mesh import auto_mesh
+
+    mesh = auto_mesh() if args.mesh == "auto" else None
 
     data_dir = args.data_dir or xfr_tpu.inpaintgame2_dir
     jobs = build_job_table(args.WB_NET, args.SUBJECT_ID, args.MASK_ID,
@@ -83,7 +89,7 @@ def main(argv=None):
                 ebp_ver=6, overwrite=args.overwrite,
                 rise_scale=args.rise_scale, num_masks=args.num_masks,
                 prior_type=args.prior_type, data_dir=data_dir,
-                smaps_dir=args.saliency_dir)
+                smaps_dir=args.saliency_dir, mesh=mesh)
         except Exception as e:
             print("Job failed: %r (%s)" % (job, e))
             failures.append((job, repr(e)))

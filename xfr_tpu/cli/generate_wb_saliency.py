@@ -114,6 +114,10 @@ def main(argv=None):
                         help="on-device EBP dtype; bfloat16 ~halves the "
                              "weighted-subtree sweep but perturbs "
                              "contrastive maps (see Whitebox docstring)")
+    parser.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                        help="auto: one process shards probe batches over "
+                             "all visible devices (dp mesh); off: "
+                             "single-device")
     parser.add_argument("--wsebp-dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="dtype for the weighted-subtree candidate "
@@ -141,6 +145,8 @@ def main(argv=None):
     weighted_mode = args.EBP_SUBTREE_MODE_WEIGHTED[0]
 
     import jax.numpy as jnp
+    from xfr_tpu.parallel.mesh import auto_mesh
+    mesh = auto_mesh() if args.mesh == "auto" else None
     cdtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
     wsdtype = jnp.bfloat16 if args.wsebp_dtype == "bfloat16" else jnp.float32
 
@@ -152,6 +158,8 @@ def main(argv=None):
             if cdtype is not None:
                 wb.compute_dtype = cdtype
             wb.wsebp_dtype = wsdtype
+            if mesh is not None:
+                wb.use_mesh(mesh)
             net_jobs = [(j["subject_id"], j["mask_id"], j["img_base"])
                         for j in jobs if j["net"] == net_name]
             for method in args.METHOD:
@@ -176,6 +184,8 @@ def main(argv=None):
             if cdtype is not None:
                 wbnets[job["net"]].compute_dtype = cdtype
             wbnets[job["net"]].wsebp_dtype = wsdtype
+            if mesh is not None:
+                wbnets[job["net"]].use_mesh(mesh)
         wb = wbnets[job["net"]]
         wmode = weighted_mode or wb.ebp_subtree_mode()
         for method in args.METHOD:

@@ -57,6 +57,9 @@ def main(argv=None):
     parser.add_argument("--saliency-dir", dest="smap_root",
                         default=xfr_tpu.inpaintgame_saliencymaps_dir)
     parser.add_argument("--data-dir", dest="data_dir", default=None)
+    parser.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                        help="auto: shard the blend-embedding batches over "
+                             "all visible devices; off: single-device")
     args = parser.parse_args(argv)
 
     params = vars(args)
@@ -67,9 +70,13 @@ def main(argv=None):
     from xfr_tpu.models import create_wbnet
     from xfr_tpu.inpainting_game.analysis import make_inpaintinggame_plots
 
+    from xfr_tpu.parallel.mesh import auto_mesh
+    mesh = auto_mesh() if args.mesh == "auto" else None
     net_dict = {}
     for net_name in params["NET"]:
         net_dict[net_name] = create_wbnet(net_name)
+        if mesh is not None:
+            net_dict[net_name].use_mesh(mesh)
 
     make_inpaintinggame_plots(net_dict=net_dict, params=params,
                               human_net_labels=human_net_labels_)

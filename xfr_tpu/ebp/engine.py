@@ -90,6 +90,7 @@ class WhiteboxNetwork:
         self.params = dict(self.params)
         self.params[self.classifier_pname] = {"w": w}
         self._num_classes = 2
+        return self
 
     def preprocess(self, im):
         """PIL image / numpy HWC image -> [1,C,H,W] network input."""
@@ -144,7 +145,58 @@ class Whitebox:
         self.match_threshold = None
         self.platts_scaling = None
 
+        # Optional device mesh: production batched paths (embeddings,
+        # ebp_batch, contrastive, STRise scoring chunks, eval blends)
+        # shard their probe/mask batch over the 'dp' axis (see use_mesh).
+        self.mesh = None
+
         self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # Device-mesh placement (SURVEY.md §2.8: the mesh replaces the
+    # reference's one-process-per-GPU queue,
+    # generate_..._multigpu.py:121-231)
+    # ------------------------------------------------------------------
+
+    def use_mesh(self, mesh):
+        """Attach a jax.sharding.Mesh: params replicate across it and
+        every batched entry point shards its leading batch dim over the
+        'dp' axis (GSPMD then runs each device's shard in parallel; the
+        per-sample independence of every kernel means zero cross-device
+        collectives until the host gather)."""
+        from xfr_tpu.parallel.mesh import replicate
+        self.mesh = mesh
+        if mesh is not None:
+            self.net.params = replicate(mesh, self.net.params)
+            if self.net._orig_classifier is not None:
+                self.net._orig_classifier = replicate(
+                    mesh, self.net._orig_classifier)
+            # keep padded embedding batches divisible by the dp size
+            dp = mesh.shape["dp"]
+            self.batch_size = -(-self.batch_size // dp) * dp
+        return self
+
+    @property
+    def _dp(self):
+        return self.mesh.shape["dp"] if self.mesh is not None else 1
+
+    def _replicated(self, tree):
+        if self.mesh is None:
+            return tree
+        from xfr_tpu.parallel.mesh import replicate
+        return replicate(self.mesh, tree)
+
+    def _shard_rows(self, x, batch_axis=0):
+        """Place ``x`` with dim ``batch_axis`` sharded over 'dp' (the
+        caller guarantees divisibility)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = [None] * np.ndim(x)
+        spec[batch_axis] = "dp"
+        return jax.device_put(
+            jnp.asarray(x),
+            NamedSharding(self.mesh, PartitionSpec(*spec)))
 
     # ------------------------------------------------------------------
     # Core jitted kernels
@@ -465,15 +517,38 @@ class Whitebox:
     # the 2-class runs, but the whole batch is one device launch.
 
     def set_triplet_classifier_batch(self, x_mates, x_nonmates):
-        """Install an interleaved [2B, D] classifier for B probes."""
-        x_mates = jnp.asarray(x_mates)
-        x_nonmates = jnp.asarray(x_nonmates)
+        """Install an interleaved [2B, D] classifier for B probes.
+
+        Under a mesh, B is padded up to a multiple of the dp size with
+        zero rows (padded probes produce discarded zero maps) so the
+        batch shards evenly."""
+        x_mates = np.asarray(x_mates)
+        x_nonmates = np.asarray(x_nonmates)
         B, D = x_mates.shape
-        w = jnp.stack([x_mates, x_nonmates], axis=1).reshape(2 * B, D)
+        pad = (-B) % self._dp
+        if pad:
+            z = np.zeros((pad, D), x_mates.dtype)
+            x_mates = np.concatenate([x_mates, z])
+            x_nonmates = np.concatenate([x_nonmates, z])
+        w = jnp.stack([jnp.asarray(x_mates), jnp.asarray(x_nonmates)],
+                      axis=1).reshape(2 * (B + pad), D)
         self.net.params = dict(self.net.params)
-        self.net.params[self.net.classifier_pname] = {"w": w}
-        self.net._num_classes = 2 * B
-        return B
+        self.net.params[self.net.classifier_pname] = self._replicated(
+            {"w": w})
+        self.net._num_classes = 2 * (B + pad)
+        return B + pad
+
+    def _pad_probe_batch(self, x):
+        """Pad a probe batch to the installed batch-classifier width."""
+        x = jnp.asarray(x, jnp.float32)
+        B = x.shape[0]
+        Bc = self.net.num_classes() // 2
+        assert B <= Bc and (B == Bc or self.mesh is not None), \
+            "call set_triplet_classifier_batch matching the probe batch"
+        if B < Bc:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Bc - B,) + x.shape[1:], x.dtype)])
+        return self._shard_rows(x), B
 
     def _batch_cotangents(self, B, kind):
         """[B, 2B] (or [2, B, 2B]) cotangent rows selecting each probe's
@@ -494,11 +569,8 @@ class Whitebox:
     def ebp_batch(self, x, mwp=False):
         """Batched meanEBP over the installed batch triplet classifiers:
         x [B,C,H,W] -> list of B saliency maps."""
-        x = jnp.asarray(x, jnp.float32)
-        B = x.shape[0]
-        assert self.net.num_classes() == 2 * B, "call " \
-            "set_triplet_classifier_batch(B) matching the probe batch"
-        Pn = self._batch_cotangents(B, "mean")
+        x, B = self._pad_probe_batch(x)
+        Pn = self._shard_rows(self._batch_cotangents(x.shape[0], "mean"))
         pooled, P_full = self._ebp_pooled_fn()(self.net.params, x, Pn)
         self.P = {self._n_events - 2: P_full}
         pooled = np.asarray(pooled, np.float32)
@@ -545,10 +617,9 @@ class Whitebox:
     def contrastive_ebp_batch(self, x, truncate_percent=None):
         """Batched (truncated-)contrastive EBP over the installed batch
         classifiers: x [B,C,H,W] -> list of B saliency maps."""
-        x = jnp.asarray(x, jnp.float32)
-        B = x.shape[0]
-        assert self.net.num_classes() == 2 * B
-        Pns = self._batch_cotangents(B, "contrastive")
+        x, B = self._pad_probe_batch(x)
+        Pns = self._shard_rows(
+            self._batch_cotangents(x.shape[0], "contrastive"), batch_axis=1)
         mwp = self._contrastive_batch_fn(truncate_percent is not None)(
             self.net.params, x, Pns,
             jnp.float32(truncate_percent or 0.0))
@@ -596,10 +667,9 @@ class Whitebox:
         """Batched contrastive + truncated-contrastive in one device launch:
         x [B,C,H,W] -> (list of B contrastive maps, list of B truncated
         maps)."""
-        x = jnp.asarray(x, jnp.float32)
-        B = x.shape[0]
-        assert self.net.num_classes() == 2 * B
-        Pns = self._batch_cotangents(B, "contrastive")
+        x, B = self._pad_probe_batch(x)
+        Pns = self._shard_rows(
+            self._batch_cotangents(x.shape[0], "contrastive"), batch_axis=1)
         contr, trunc = self._contrastive_both_fn()(
             self.net.params, x, Pns, jnp.float32(truncate_percent))
         contr = np.asarray(contr, np.float32)
@@ -746,6 +816,16 @@ class Whitebox:
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         sweep_dt = self._wsebp_dtype
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def row_shard(g):
+                spec = PartitionSpec(*(["dp"] + [None] * (g.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    g, NamedSharding(mesh, spec))
+        else:
+            row_shard = None
 
         @jax.jit
         def fn(params, x, elems, vals):
@@ -755,10 +835,10 @@ class Whitebox:
             return I.ebp_backward_allevents(
                 graph, params, values, posvals, elems,
                 vals.astype(x.dtype), subtree_mode=mode, eps=eps,
-                with_bias=wb, n_buckets=n_buckets)
+                with_bias=wb, n_buckets=n_buckets, row_shard=row_shard)
 
         return self._kernel(("wsebp_sweep", mode, wb, n_buckets,
-                             str(sweep_dt)), lambda: fn)
+                             str(sweep_dt), id(mesh)), lambda: fn)
 
     def _wsebp_buckets(self, n_buckets=6):
         """Static partition of candidate events 0..n_events-2 into buckets
@@ -869,15 +949,13 @@ class Whitebox:
 
         Returns a list of (smap, P_img_valid, P_subtree_valid,
         k_subtree_valid) tuples."""
+        x_pad, B = self._pad_probe_batch(x)
         x = jnp.asarray(x, jnp.float32)
-        B = x.shape[0]
-        assert self.net.num_classes() == 2 * B, \
-            "call set_triplet_classifier_batch matching the probe batch"
         prev_mode = self._ebp_subtree_mode
         self._ebp_subtree_mode = subtree_mode
         try:
             scores, idxs, vals = self._wsebp_grad_batch_fn()(
-                self.net.params, x,
+                self.net.params, x_pad,
                 gating=bool(do_mated_similarity_gating))
             scores = np.asarray(scores, np.float32)
             idxs = np.asarray(idxs)
@@ -1000,7 +1078,10 @@ class Whitebox:
             return values[self.net.encode_tensor]
 
         fn = self._kernel(("encode",), lambda: fn)
-        return fn(self.net.params, self._as_input(x))
+        x = self._as_input(x)
+        if self.mesh is not None and x.shape[0] % self._dp == 0:
+            x = self._shard_rows(x)
+        return fn(self.net.params, x)
 
     def embeddings(self, images, norm=True):
         """Batched embeddings from preprocessed tensors or raw numpy images

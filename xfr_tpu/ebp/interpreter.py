@@ -233,6 +233,7 @@ def ebp_backward_allevents(
     with_bias: bool = False,
     n_buckets: int = 1,
     out_event: Optional[int] = None,
+    row_shard=None,
 ):
     """Batched prior-injected backward: one walk row per candidate event.
 
@@ -289,6 +290,10 @@ def ebp_backward_allevents(
                     if not (lo <= ev.idx < hi):
                         continue
                     g = jnp.zeros((nb, *values[t].shape), values[t].dtype)
+                    if row_shard is not None:
+                        # shard candidate rows over the mesh 'dp' axis;
+                        # GSPMD propagates through the whole bucket walk
+                        g = row_shard(g)
                 a = jnp.maximum(values[at], 0)
                 xp = jnp.maximum(posvals[xt], 0)
                 z = g

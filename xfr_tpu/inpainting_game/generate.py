@@ -240,7 +240,7 @@ def generate_wb_smaps(wb, net_name, img_base, subj_id, mask_id,
 def create_bbox(blackbox_fn, probe_im, mates, nonmates, rise_scale,
                 num_mask_elements, mask_fill_type, blur_sigma_percent,
                 device=None, num_masks=6500, seed=0,
-                prior_type="mean_ebp"):
+                prior_type="mean_ebp", mesh=None):
     """STRise closure for one probe (reference:
     generate_blackbox_saliency.py:48-73)."""
     def bbox():
@@ -252,7 +252,8 @@ def create_bbox(blackbox_fn, probe_im, mates, nonmates, rise_scale,
             num_mask_elements=num_mask_elements,
             mask_fill_type=mask_fill_type,
             blur_fill_sigma_percent=blur_sigma_percent,
-            num_masks=num_masks, seed=seed, prior_type=prior_type)
+            num_masks=num_masks, seed=seed, prior_type=prior_type,
+            mesh=mesh)
         if isinstance(blackbox_fn, str):
             # builtin matcher name: the fused on-device scorer (embeds each
             # masked probe once for both galleries)
@@ -270,7 +271,7 @@ def create_bbox(blackbox_fn, probe_im, mates, nonmates, rise_scale,
 def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
                       subj_id, mask_id, ebp_ver, overwrite, device=None,
                       rise_scale=12, num_masks=6500, data_dir=None,
-                      smaps_dir=None, prior_type="mean_ebp"):
+                      smaps_dir=None, prior_type="mean_ebp", mesh=None):
     """Generate the blackbox RISE map for one (net, subject, image, mask)
     (reference: generate_blackbox_saliency.py:76-227)."""
     subject_id = subj_id
@@ -309,7 +310,8 @@ def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
                     num_mask_elements=num_mask_elements,
                     mask_fill_type=mask_fill_type,
                     blur_sigma_percent=blur_sigma_percent,
-                    num_masks=num_masks, prior_type=prior_type),
+                    num_masks=num_masks, prior_type=prior_type,
+                    mesh=mesh),
                 probe_im=probe_im, mask_im=mask_im, mask_id=mask_id,
                 probe_info=probe_row)
             dt = time.time() - t0

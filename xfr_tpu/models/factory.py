@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import warnings
+import zlib
 
 from xfr_tpu import xfr_root
 from xfr_tpu.ebp.engine import Whitebox, WhiteboxNetwork
@@ -44,7 +45,10 @@ def _load_or_init(net_name, param_shapes, weights_path, strip_prefix=None,
     warnings.warn(
         f"weights for {net_name} not found at {path!r}; using deterministic "
         "random initialization (embeddings will not be face-meaningful)")
-    return common.init_params(param_shapes, seed=abs(hash(net_name)) % 2**31)
+    # stable per-net seed: Python's str hash is salted per process
+    # (PYTHONHASHSEED) and would make "deterministic" init differ per run
+    seed = zlib.crc32(net_name.encode()) % 2**31
+    return common.init_params(param_shapes, seed=seed)
 
 
 def create_wbnet(net_name, device=None, ebp_version=None,

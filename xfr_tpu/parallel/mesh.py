@@ -29,6 +29,16 @@ def make_mesh(shape=None, axis_names=("dp", "mp"), devices=None):
     return Mesh(devices.reshape(shape), axis_names)
 
 
+def auto_mesh(min_devices=2):
+    """A pure-dp mesh over all visible devices when more than one exists,
+    else None.  Production CLIs call this so a single process drives a
+    whole slice (the reference needed one process per GPU,
+    generate_..._multigpu.py:121-231)."""
+    if len(jax.devices()) < min_devices:
+        return None
+    return make_mesh(None, ("dp", "mp"))
+
+
 def data_sharding(mesh, axis="dp", rank=1):
     """NamedSharding that splits the leading dim over ``axis``."""
     spec = [None] * rank
