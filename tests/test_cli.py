@@ -117,3 +117,99 @@ def test_eccv20_figure1_synthetic(tmp_path, monkeypatch):
         assert os.path.exists(f)
         im = PIL.Image.open(f)
         assert im.size[0] > 400  # 4x4 grid of 112px tiles
+
+
+def test_eccv20_all_figures_synthetic(tmp_path):
+    """Figures 1-5 (sub-figures a..e + composite f) on a toy corpus
+    (reference: eval/eccv20.py:265-549)."""
+    import PIL.Image
+
+    from xfr_tpu.cli.eccv20 import (FaceDirectory, figure1, figure2,
+                                    figure3, figure4, figure5)
+
+    rng = np.random.RandomState(1)
+    for sid in range(4):
+        d = tmp_path / "data" / ("s%02d" % sid)
+        os.makedirs(d)
+        # strongly distinct identities (a too-uniform corpus makes
+        # mate/nonmate gradients agree and weighted-subtree correctly
+        # finds no valid subtree, as the reference would)
+        base = (rng.rand(260, 260, 3) * 60 + 40).astype(np.uint8)
+        base = np.roll(base, sid, axis=2)
+        base[40 + 30 * sid:100 + 30 * sid, 60:200, sid % 3] = 240
+        base[150:200, 40 + 40 * sid:90 + 40 * sid] = 30 + 60 * sid
+        for k in range(3):
+            img = np.clip(base.astype(int) +
+                          rng.randint(-10, 10, base.shape),
+                          0, 255).astype(np.uint8)
+            PIL.Image.fromarray(img).save(d / ("im%d.jpg" % k))
+
+    wb = make_toy_wbnet(subtree_mode="all")
+    ds = FaceDirectory(str(tmp_path / "data"))
+    methods = ("none", "ebp", "weighted-subtree")
+    kw = dict(output_dir=str(tmp_path), n_subjects=2, methods=methods)
+    outs = []
+    outs += figure1(wb, ds, **kw)
+    outs += figure2(wb, ds, topk=2, **kw)
+    outs += figure3(wb, ds, **kw)
+    outs += figure4(wb, ds, topk=2, **kw)
+    outs += figure5(wb, ds, **kw)
+    # 5 figures x (3 methods + composite f)
+    assert len(outs) == 5 * (len(methods) + 1)
+    names = {os.path.basename(f) for f in outs}
+    for fig in "12345":
+        assert ("figure%sa_2.jpg" % fig) in names
+        assert ("figure%sf_2.jpg" % fig) in names
+    for f in outs:
+        assert os.path.exists(f) and PIL.Image.open(f).size[0] > 200
+
+
+def test_subject_dists_cli_ijbc_fixture(tmp_path, monkeypatch):
+    """xfr-calc-subject-dists + xfr-calc-match-threshold end-to-end on a
+    synthetic IJB-C-shaped corpus (reference:
+    eval/calculate_subject_dists_inpaintinggame.py,
+    inpainting_game/net_mate_nonmate_dists.py:55-144)."""
+    import imageio.v2 as imageio
+    import pandas as pd
+
+    from xfr_tpu.cli import calc_match_threshold, calc_subject_dists
+
+    # IJB-C-shaped fixture: protocols/ijbc_metadata.csv + images
+    rng = np.random.RandomState(9)
+    rows = []
+    os.makedirs(tmp_path / "protocols")
+    os.makedirs(tmp_path / "images")
+    for sid in range(1, 7):
+        base = (rng.rand(240, 240, 3) * 120 + 40).astype(np.uint8)
+        base[30 * sid // 2:120, 40:200, sid % 3] = 230
+        for k in range(3):
+            img = np.clip(base.astype(int) +
+                          rng.randint(-12, 12, base.shape),
+                          0, 255).astype(np.uint8)
+            fn = "images/s%d_%d.png" % (sid, k)
+            imageio.imwrite(tmp_path / fn, img)
+            rows.append({"SUBJECT_ID": sid, "FILENAME": fn,
+                         "FACE_X": 8, "FACE_Y": 8, "FACE_WIDTH": 220,
+                         "FACE_HEIGHT": 220})
+    pd.DataFrame(rows).to_csv(
+        tmp_path / "protocols" / "ijbc_metadata.csv", index=False)
+
+    monkeypatch.setenv("IJBC_PATH", str(tmp_path))
+    out_dir = str(tmp_path / "out")
+    calc_subject_dists.main([
+        "--net", "resnetv4_pytorch", "--seeds", "0", "1",
+        "--num-subjects", "4", "--num-nonmates", "3",
+        "--output", out_dir])
+
+    npzs = sorted(os.listdir(out_dir))
+    assert npzs == ["dists_net=resnetv4_pytorch_seed=0.npz",
+                    "dists_net=resnetv4_pytorch_seed=1.npz"]
+    d = np.load(os.path.join(out_dir,
+                             "dists_net=resnetv4_pytorch_seed=0.npz"))
+    assert d["mate_dists"].ndim == 1 and len(d["mate_dists"]) >= 2
+    assert len(d["nonmate_dists"]) >= 6
+    assert np.isfinite(d["mate_dists"]).all()
+
+    # chain into the threshold-calibration CLI on the written npzs
+    calc_match_threshold.main(["resnetv4_pytorch", "--dists-dir", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "roc.png"))

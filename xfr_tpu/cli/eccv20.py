@@ -153,7 +153,10 @@ def triplet_montage(wb, mates, nonmates, probes, outfile, f_saliency=None):
     (reference: eccv20.py:191-213).
 
     mates/nonmates: lists of PIL images; probes: probes[i][j] is the probe
-    shown for mate i vs nonmate j.
+    shown for mate i vs nonmate j.  Returns (outfile, rows) where rows[i]
+    is the list of rendered probe tiles for mate i (the reference mutates
+    its probelist in place and reuses row 0 for the composite sub-figure
+    'f'; returning the rows serves the same purpose).
     """
     X_mate = [np.asarray(wb.encode(wb.net.preprocess(im)))[0]
               for im in mates]
@@ -161,25 +164,69 @@ def triplet_montage(wb, mates, nonmates, probes, outfile, f_saliency=None):
                  for im in nonmates]
 
     tiles = [None] + list(nonmates)
+    rows = []
     for i, im_mate in enumerate(mates):
-        row = [im_mate]
+        row = []
         for j in range(len(nonmates)):
             if f_saliency is not None:
                 wb.net.set_triplet_classifier(X_mate[i], X_nonmate[j])
                 row.append(f_saliency(wb, probes[i][j]))
             else:
                 row.append(probes[i][j])
-        tiles.extend(row)
+        rows.append(row)
+        tiles.extend([im_mate] + row)
     m = _montage(tiles, cols=len(nonmates) + 1, rows=len(mates) + 1)
     m.save(outfile)
-    return outfile
+    return outfile, rows
 
 
-def figure1(wb, dataset, output_dir=".", n_subjects=4, detector=None,
-            methods=("none", "ebp", "cebp", "tcebp"), wsebp_topk=64):
-    """Mate x top-1-nonmate probe grids per saliency method
-    (reference: eccv20.py:265-320)."""
-    nonmate_map = topk_nonmates(wb, dataset, topk=n_subjects,
+# sub-figure letter per method, matching the reference's a..e order
+_METHOD_LETTERS = ("none", "ebp", "cebp", "tcebp", "weighted-subtree")
+
+
+def _figure_grid(wb, figname, mates, nonmates, probes, output_dir,
+                 n_subjects, methods, wsebp_mode="all",
+                 wsebp_max_candidates=None):
+    """Render sub-figures a..e (one per method) + the composite 'f'
+    (first mate's rendered row per method, reference: eccv20.py:314-320).
+    """
+    outs = []
+    first_rows = []
+    for tag in methods:
+        letter = "abcde"[_METHOD_LETTERS.index(tag)]
+        if tag == "weighted-subtree":
+            fn = lambda w, im: f_saliency_whitebox_weighted_subtree(
+                w, im, subtree_mode=wsebp_mode,
+                max_candidates=wsebp_max_candidates)
+        else:
+            fn = SALIENCY_FNS[tag]
+        out = os.path.join(output_dir, "%s%s_%d.jpg"
+                           % (figname, letter, n_subjects))
+        out, rows = triplet_montage(wb, mates, nonmates,
+                                    [list(p) for p in probes], out,
+                                    f_saliency=fn)
+        outs.append(out)
+        first_rows.append(rows[0])
+        print('[eccv20.%s]: Saving montage to "%s"' % (figname, out))
+
+    # composite 'f': first mate repeated, one row per method
+    out = os.path.join(output_dir, "%sf_%d.jpg" % (figname, n_subjects))
+    tiles = [None] + list(nonmates)
+    for row in first_rows:
+        tiles.extend([mates[0]] + row)
+    _montage(tiles, cols=len(nonmates) + 1,
+             rows=len(first_rows) + 1).save(out)
+    outs.append(out)
+    print('[eccv20.%s]: Saving montage to "%s"' % (figname, out))
+    return outs
+
+
+def _select_top1(wb, dataset, n_subjects, detector, repeat_probe=False):
+    """Mates x top-1 nonmates with per-column (mixed-pose stand-in)
+    probes (reference: _triplet_mate_frontalpose_nonmate_top1_probe_
+    mixedpose, eccv20.py:83-109).  repeat_probe repeats each row's first
+    probe (figure5, eccv20.py:500-505)."""
+    nonmate_map = topk_nonmates(wb, dataset, topk=max(n_subjects, 1),
                                 detector=detector)
     sids = dataset.subjects()[:n_subjects]
     mates = [f_detection(dataset.subjectset(s)[0], detector) for s in sids]
@@ -191,20 +238,94 @@ def figure1(wb, dataset, output_dir=".", n_subjects=4, detector=None,
                 break
     nonmates = [f_detection(dataset.subjectset(s)[0], detector)
                 for s in nonmate_ids]
-    probes = [[f_detection(dataset.subjectset(s)[min(
-        1, len(dataset.subjectset(s)) - 1)], detector)
-        for _ in nonmate_ids] for s in sids]
+    probes = []
+    for s in sids:
+        files = dataset.subjectset(s)
+        row = []
+        for j in range(len(nonmate_ids)):
+            idx = 1 if repeat_probe else (1 + j)
+            row.append(f_detection(files[min(idx, len(files) - 1)
+                                         % len(files)], detector))
+        probes.append(row)
+    return mates, nonmates, probes
 
-    outs = []
-    for tag in methods:
-        fn = SALIENCY_FNS[tag]
-        out = os.path.join(output_dir,
-                           "figure1%s_%d.jpg" % (tag, n_subjects))
-        outs.append(triplet_montage(wb, mates, nonmates,
-                                    [list(p) for p in probes], out,
-                                    f_saliency=fn))
-        print('[eccv20.figure1]: Saving montage to "%s"' % outs[-1])
-    return outs
+
+def _select_topk(wb, dataset, n_subjects, topk, detector):
+    """Mates x the first mate's top-k nonmates, frontal (first-image)
+    probes (reference: _triplet_mate_frontalpose_nonmate_topk_probe_
+    frontalpose, eccv20.py:112-143)."""
+    nonmate_map = topk_nonmates(wb, dataset, topk=topk, detector=detector)
+    sids = dataset.subjects()[:n_subjects]
+    mates = [f_detection(dataset.subjectset(s)[0], detector) for s in sids]
+    nonmate_ids = nonmate_map[sids[0]][:topk]
+    nonmates = [f_detection(dataset.subjectset(s)[0], detector)
+                for s in nonmate_ids]
+    probes = [[f_detection(dataset.subjectset(s)[0], detector)
+               for _ in nonmate_ids] for s in sids]
+    return mates, nonmates, probes
+
+
+def figure1(wb, dataset, output_dir=".", n_subjects=4, detector=None,
+            methods=_METHOD_LETTERS, wsebp_max_candidates=None):
+    """Frontal mates x top-1 nonmates, mixed-pose probes, ResNet-101
+    (reference: eccv20.py:265-320)."""
+    mates, nonmates, probes = _select_top1(wb, dataset, n_subjects,
+                                           detector)
+    return _figure_grid(wb, "figure1", mates, nonmates, probes,
+                        output_dir, n_subjects, methods,
+                        wsebp_max_candidates=wsebp_max_candidates)
+
+
+def figure2(wb, dataset, output_dir=".", n_subjects=4, topk=4,
+            detector=None, methods=_METHOD_LETTERS,
+            wsebp_max_candidates=None):
+    """One mate's top-k nonmates, frontal probes, ResNet-101
+    (reference: eccv20.py:322-372)."""
+    mates, nonmates, probes = _select_topk(wb, dataset, n_subjects, topk,
+                                           detector)
+    return _figure_grid(wb, "figure2", mates, nonmates, probes,
+                        output_dir, n_subjects, methods,
+                        wsebp_max_candidates=wsebp_max_candidates)
+
+
+def figure3(wb_lightcnn, dataset, output_dir=".", n_subjects=4,
+            detector=None, methods=_METHOD_LETTERS,
+            wsebp_max_candidates=None):
+    """figure1 with the LightCNN-29v2 matcher
+    (reference: eccv20.py:374-432)."""
+    mates, nonmates, probes = _select_top1(wb_lightcnn, dataset,
+                                           n_subjects, detector)
+    return _figure_grid(wb_lightcnn, "figure3", mates, nonmates, probes,
+                        output_dir, n_subjects, methods,
+                        wsebp_mode="affineonly_with_prior",
+                        wsebp_max_candidates=wsebp_max_candidates)
+
+
+def figure4(wb_lightcnn, dataset, output_dir=".", n_subjects=4, topk=4,
+            detector=None, methods=_METHOD_LETTERS,
+            wsebp_max_candidates=None):
+    """figure2 with the LightCNN-29v2 matcher
+    (reference: eccv20.py:436-486)."""
+    mates, nonmates, probes = _select_topk(wb_lightcnn, dataset,
+                                           n_subjects, topk, detector)
+    return _figure_grid(wb_lightcnn, "figure4", mates, nonmates, probes,
+                        output_dir, n_subjects, methods,
+                        wsebp_mode="affineonly_with_prior",
+                        wsebp_max_candidates=wsebp_max_candidates)
+
+
+def figure5(wb_lightcnn, dataset, output_dir=".", n_subjects=4,
+            detector=None, methods=_METHOD_LETTERS,
+            wsebp_max_candidates=None):
+    """figure3 with each row's probe repeated
+    (reference: eccv20.py:488-549)."""
+    mates, nonmates, probes = _select_top1(wb_lightcnn, dataset,
+                                           n_subjects, detector,
+                                           repeat_probe=True)
+    return _figure_grid(wb_lightcnn, "figure5", mates, nonmates, probes,
+                        output_dir, n_subjects, methods,
+                        wsebp_mode="affineonly_with_prior",
+                        wsebp_max_candidates=wsebp_max_candidates)
 
 
 def main(argv=None):
@@ -212,21 +333,47 @@ def main(argv=None):
     parser.add_argument("--dataset", required=True,
                         help="directory of <subject>/<image> folders")
     parser.add_argument("--net", default="resnetv4_pytorch")
+    parser.add_argument("--lightcnn-net", default="lightcnn")
     parser.add_argument("--output", default=".")
     parser.add_argument("--subjects", type=int, default=4)
+    parser.add_argument("--topk", type=int, default=4,
+                        help="nonmate columns for figures 2/4")
+    parser.add_argument("--figure", nargs="+", default=["1"],
+                        choices=["1", "2", "3", "4", "5", "all"])
+    parser.add_argument("--wsebp-max-candidates", type=int, default=None)
     parser.add_argument("--use-detector", action="store_true")
     args = parser.parse_args(argv)
 
     from xfr_tpu.models import create_wbnet
 
-    wb = create_wbnet(args.net)
+    figures = (["1", "2", "3", "4", "5"] if "all" in args.figure
+               else args.figure)
     detector = None
     if args.use_detector:
         from xfr_tpu.detection import FasterRCNN
 
         detector = FasterRCNN()
-    figure1(wb, FaceDirectory(args.dataset), args.output,
-            n_subjects=args.subjects, detector=detector)
+    dataset = FaceDirectory(args.dataset)
+
+    wb = (create_wbnet(args.net, ebp_version=5)
+          if {"1", "2"} & set(figures) else None)
+    wbl = (create_wbnet(args.lightcnn_net, ebp_version=5,
+                        ebp_subtree_mode="affineonly_with_prior")
+           if {"3", "4", "5"} & set(figures) else None)
+
+    kw = dict(output_dir=args.output, n_subjects=args.subjects,
+              detector=detector,
+              wsebp_max_candidates=args.wsebp_max_candidates)
+    if "1" in figures:
+        figure1(wb, dataset, **kw)
+    if "2" in figures:
+        figure2(wb, dataset, topk=args.topk, **kw)
+    if "3" in figures:
+        figure3(wbl, dataset, **kw)
+    if "4" in figures:
+        figure4(wbl, dataset, topk=args.topk, **kw)
+    if "5" in figures:
+        figure5(wbl, dataset, **kw)
 
 
 if __name__ == "__main__":

@@ -521,6 +521,11 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                                 save_dict_={
                                     "hgame_thresholds": hgame_thresholds,
                                     "hgame_percentile": hgame_percentile})
+                        # CLS_AS_NONMATE / Orig_Cls_Nonmate /
+                        # Twin_Cls_Nonmate are NaN by design: the
+                        # reference fills the same three columns with
+                        # np.nan (plot_inpainting_game.py:1170-1172); all
+                        # downstream stats read CLS_AS_TWIN.
                         classified_as_nonmate.append((
                             net_name, method, row["ORIGINAL_BASENAME"],
                             inp_fn, suffix_aggr, subject_id, mask_id,
@@ -590,6 +595,11 @@ def generate_plots(nonmate_classification, hgame_thresholds,
         1, cNets, figsize=(6 * cNets * plt_scale, 4 * plt_scale),
         sharex=True, sharey="row", squeeze=False)
 
+    figR, axesR = plt.subplots(1, cNets,
+                               figsize=(6 * cNets * plt_scale,
+                                        4 * plt_scale),
+                               sharex=True, sharey="row", squeeze=False)
+
     cls_at_fpr_method = {}
     lines = []
     for (method, suffix_aggr, net), grp in nonmate_classification.groupby(
@@ -599,6 +609,11 @@ def generate_plots(nonmate_classification, hgame_thresholds,
         label, method_idx, slabel = method_label_and_idx(
             method, params["METHOD"], human_net_labels)
         ni = net_indices[net]
+        # saliency-threshold ROC (the reference defines this plot but
+        # never wires it, plot_inpainting_game.py:529-566; here it ships)
+        plot_roc_curve(axesR[0, ni], grp, hnet, label,
+                       method_idx=method_idx, balance_masks=balance_masks,
+                       leftmost=(ni == 0))
         plot_cls_vs_fpr(axes4[0, ni], grp, hnet, label,
                         method_idx=method_idx, balance_masks=balance_masks,
                         leftmost=(ni == 0))
@@ -616,6 +631,10 @@ def generate_plots(nonmate_classification, hgame_thresholds,
             axesL[0, ni].axis("off")
 
     bal = "balanced-by-mask" if balance_masks else "unbalanced"
+    figR.subplots_adjust(top=0.95, bottom=0.1, left=0.15, right=0.96,
+                         hspace=0.9, wspace=0.05)
+    show.savefig("inpainted_twin_game_roc_%s.png" % bal, figR,
+                 output_dir=output_dir)
     fig4s.subplots_adjust(top=0.95, bottom=0.1, left=0.15, right=0.96,
                           hspace=0.9, wspace=0.05)
     show.savefig("inpainted_twin_game_%s-net-split_simplified.png" % bal,
