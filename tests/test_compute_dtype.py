@@ -72,3 +72,35 @@ def test_wsebp_dtype_bf16_quality_gate():
     assert len(set(k32) & set(k16)) >= 2, (k32, k16)
     corr = np.corrcoef(m32.ravel(), m16.ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_contrastive_dtype_pinning_makes_bf16_safe():
+    """compute_dtype=bfloat16 + contrastive_dtype=float32 (the generation
+    CLI mapping for --compute-dtype bfloat16) reproduces the all-f32
+    contrastive/truncated maps exactly, while mean/wsebp run bf16."""
+    wb32 = make_toy_wbnet(subtree_mode="all", seed=3)
+    wbmx = make_toy_wbnet(subtree_mode="all", seed=3)
+    wbmx.compute_dtype = jnp.bfloat16
+    wbmx.contrastive_dtype = jnp.float32
+
+    rng = np.random.RandomState(3)
+    probe = jnp.asarray(rng.rand(1, 3, 224, 224), jnp.float32)
+    c32 = wb32.contrastive_ebp(probe, 2, 3)
+    cmx = wbmx.contrastive_ebp(probe, 2, 3)
+    np.testing.assert_array_equal(cmx, c32)
+    t32 = wb32.truncated_contrastive_ebp(probe, 2, 3, percentile=20)
+    tmx = wbmx.truncated_contrastive_ebp(probe, 2, 3, percentile=20)
+    np.testing.assert_array_equal(tmx, t32)
+
+    # batched fused path too
+    e = np.asarray(wb32.encode(jnp.asarray(rng.rand(4, 3, 224, 224),
+                                           jnp.float32)))
+    e = e / np.linalg.norm(e, axis=1, keepdims=True)
+    for wb in (wb32, wbmx):
+        wb.set_triplet_classifier_batch(e[:2], e[2:])
+    c32b, t32b = wb32.contrastive_ebp_batch_both(
+        jnp.concatenate([probe] * 2), 20)
+    cmxb, tmxb = wbmx.contrastive_ebp_batch_both(
+        jnp.concatenate([probe] * 2), 20)
+    for a, b in zip(c32b + t32b, cmxb + tmxb):
+        np.testing.assert_array_equal(b, a)

@@ -118,6 +118,12 @@ def main(argv=None):
                         help="auto: one process shards probe batches over "
                              "all visible devices (dp mesh); off: "
                              "single-device")
+    parser.add_argument("--contrastive-dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="dtype for the contrastive/truncated backward "
+                             "passes (default: float32 — bf16 rounding "
+                             "dominates the near-equal-map difference, so "
+                             "--compute-dtype bfloat16 keeps these f32)")
     parser.add_argument("--wsebp-dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="dtype for the weighted-subtree candidate "
@@ -149,6 +155,8 @@ def main(argv=None):
     mesh = auto_mesh() if args.mesh == "auto" else None
     cdtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
     wsdtype = jnp.bfloat16 if args.wsebp_dtype == "bfloat16" else jnp.float32
+    ctdtype = (jnp.bfloat16 if args.contrastive_dtype == "bfloat16"
+               else jnp.float32)
 
     if args.batch_size and args.batch_size > 0:
         # batched pipeline: mean/contrastive/truncated batch across jobs
@@ -158,6 +166,7 @@ def main(argv=None):
             if cdtype is not None:
                 wb.compute_dtype = cdtype
             wb.wsebp_dtype = wsdtype
+            wb.contrastive_dtype = ctdtype
             if mesh is not None:
                 wb.use_mesh(mesh)
             net_jobs = [(j["subject_id"], j["mask_id"], j["img_base"])
@@ -184,6 +193,7 @@ def main(argv=None):
             if cdtype is not None:
                 wbnets[job["net"]].compute_dtype = cdtype
             wbnets[job["net"]].wsebp_dtype = wsdtype
+            wbnets[job["net"]].contrastive_dtype = ctdtype
             if mesh is not None:
                 wbnets[job["net"]].use_mesh(mesh)
         wb = wbnets[job["net"]]

@@ -105,7 +105,8 @@ class Whitebox:
 
     def __init__(self, net: WhiteboxNetwork, ebp_version=None, with_bias=None,
                  eps=1e-16, ebp_subtree_mode="affineonly_with_prior",
-                 compute_dtype=None, wsebp_dtype=None):
+                 compute_dtype=None, wsebp_dtype=None,
+                 contrastive_dtype=None):
         """compute_dtype: optional jnp dtype (e.g. jnp.bfloat16) for the
         on-device EBP compute; MWP outputs are cast back to float32.  The
         default float32 matches the reference numerics; bfloat16 roughly
@@ -119,11 +120,20 @@ class Whitebox:
         generation wall-clock and its maps feed a blur+normalize+merge,
         so bfloat16 here is quality-gated safe
         (tests/test_compute_dtype.py) while the contrastive paths stay
-        float32."""
+        float32.
+
+        contrastive_dtype: compute dtype for the contrastive/truncated
+        backward passes only (defaults to compute_dtype).  Contrastive
+        maps are a difference of nearly-equal MWP distributions, so the
+        ~1e-3 relative bf16 rounding of each map dominates the
+        difference; pinning these passes to float32 makes
+        compute_dtype=bfloat16 safe for every method (the generation
+        CLI does exactly that)."""
         assert isinstance(net, WhiteboxNetwork)
         self.net = net
         self.compute_dtype = compute_dtype or jnp.float32
         self.wsebp_dtype = wsebp_dtype
+        self.contrastive_dtype = contrastive_dtype
         self.eps = float(eps)
         self.ebp_ver = 6 if ebp_version is None else ebp_version
         if self.ebp_ver < 4:
@@ -214,6 +224,10 @@ class Whitebox:
     def _wsebp_dtype(self):
         return self.wsebp_dtype or self.compute_dtype
 
+    @property
+    def _contrastive_dtype(self):
+        return self.contrastive_dtype or self.compute_dtype
+
     def _kernel(self, key, builder):
         fn = self._jit_cache.get(key)
         if fn is None:
@@ -292,10 +306,11 @@ class Whitebox:
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         kk = graph.n_events - 2
+        cdt = self._contrastive_dtype
 
         @jax.jit
         def fn(params, x, Pns, percentile):
-            params, x = self._prep(params, x)
+            params, x = self._prep(params, x, cdt)
             values = I.forward_clean(graph, params, x)
             posvals = I.forward_positive(graph, params, values, with_bias=wb)
 
@@ -316,7 +331,7 @@ class Whitebox:
             return diff.sum(axis=1)[0]  # pool channels -> [H,W]
 
         return self._kernel(("contrastive", mode, wb, truncate,
-                             str(self.compute_dtype)), lambda: fn)
+                             str(cdt)), lambda: fn)
 
     # ------------------------------------------------------------------
     # Saliency post-processing (reference: whitebox.py:439-460)
@@ -584,10 +599,11 @@ class Whitebox:
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         kk = graph.n_events - 2
+        cdt = self._contrastive_dtype
 
         @jax.jit
         def fn(params, x, Pns, percentile):
-            params, x = self._prep(params, x)
+            params, x = self._prep(params, x, cdt)
             values = I.forward_clean(graph, params, x)
             posvals = I.forward_positive(graph, params, values, with_bias=wb)
 
@@ -612,7 +628,7 @@ class Whitebox:
             return jax.vmap(combine)(P[0], P[1])
 
         return self._kernel(("contrastive_batch", mode, wb, truncate,
-                             str(self.compute_dtype)), lambda: fn)
+                             str(cdt)), lambda: fn)
 
     def contrastive_ebp_batch(self, x, truncate_percent=None):
         """Batched (truncated-)contrastive EBP over the installed batch
@@ -634,10 +650,11 @@ class Whitebox:
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         kk = graph.n_events - 2
+        cdt = self._contrastive_dtype
 
         @jax.jit
         def fn(params, x, Pns, percentile):
-            params, x = self._prep(params, x)
+            params, x = self._prep(params, x, cdt)
             values = I.forward_clean(graph, params, x)
             posvals = I.forward_positive(graph, params, values, with_bias=wb)
 
@@ -661,7 +678,7 @@ class Whitebox:
             return jax.vmap(combine)(P[0], P[1])
 
         return self._kernel(("contrastive_both", mode, wb,
-                             str(self.compute_dtype)), lambda: fn)
+                             str(cdt)), lambda: fn)
 
     def contrastive_ebp_batch_both(self, x, truncate_percent=20):
         """Batched contrastive + truncated-contrastive in one device launch:

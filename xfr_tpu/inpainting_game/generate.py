@@ -34,14 +34,19 @@ def shorten_subtree_mode(ebp_subtree_mode):
 
 def _avg_encodings(wb, im_mates, im_nonmates):
     """Average + L2-normalize mate/nonmate encodings
-    (reference: generate_whitebox_saliency.py:85-98)."""
+    (reference: generate_whitebox_saliency.py:85-98).
+
+    Goes through ``embeddings`` (padded to wb.batch_size) so every job
+    reuses one compiled encode shape — raw per-job stack sizes would
+    trigger a fresh XLA compile per distinct mate/nonmate count."""
     import jax.numpy as jnp
 
-    x_mates = jnp.concatenate([wb.convert_from_numpy(im) for im in im_mates])
-    x_nonmates = jnp.concatenate(
-        [wb.convert_from_numpy(im) for im in im_nonmates])
-    em = np.asarray(wb.encode(x_mates)).mean(axis=0)
-    en = np.asarray(wb.encode(x_nonmates)).mean(axis=0)
+    x = jnp.concatenate([wb.convert_from_numpy(im)
+                         for im in list(im_mates) + list(im_nonmates)])
+    e = wb.embeddings(np.asarray(x), norm=False)
+    e = e.reshape(e.shape[0], -1)
+    em = e[:len(im_mates)].mean(axis=0)
+    en = e[len(im_mates):].mean(axis=0)
     return em / np.linalg.norm(em), en / np.linalg.norm(en)
 
 

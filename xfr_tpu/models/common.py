@@ -39,6 +39,49 @@ def init_params(param_shapes, seed=0, dtype=jnp.float32, scale=None):
     return params
 
 
+def init_params_device(param_shapes, seed=0, dtype=jnp.float32, scale=None):
+    """init_params generated ON DEVICE as one jitted program.
+
+    The numpy variant materializes ~280 MB on host and uploads it — on a
+    slow device link (axon tunnel ~30 MB/s) that alone costs ~20 s of
+    every fresh CLI process.  Same distribution family (He-style conv,
+    identity-ish BN), deterministic in ``seed`` via the JAX PRNG (values
+    differ from the numpy variant)."""
+    import jax
+
+    names = sorted(param_shapes)
+
+    def build():
+        key = jax.random.PRNGKey(seed)
+        params = {}
+        for i, pname in enumerate(names):
+            shapes = param_shapes[pname]
+            p = {}
+            for j, (k, shp) in enumerate(sorted(shapes.items())):
+                kk = jax.random.fold_in(jax.random.fold_in(key, i), j)
+                if k == "w":
+                    fan_out = shp[0] * (np.prod(shp[2:])
+                                        if len(shp) > 2 else 1)
+                    std = scale or np.sqrt(2.0 / fan_out)
+                    p[k] = jax.random.normal(kk, shp, dtype) * std
+                elif k == "b":
+                    p[k] = jax.random.normal(kk, shp, dtype) * 0.01
+                elif k == "gamma":
+                    p[k] = 1.0 + 0.1 * jax.random.normal(kk, shp, dtype)
+                elif k == "beta":
+                    p[k] = 0.05 * jax.random.normal(kk, shp, dtype)
+                elif k == "mean":
+                    p[k] = 0.05 * jax.random.normal(kk, shp, dtype)
+                elif k == "var":
+                    p[k] = 0.5 + 0.5 * jax.random.uniform(kk, shp, dtype)
+                else:
+                    raise KeyError(k)
+            params[pname] = p
+        return params
+
+    return jax.jit(build)()
+
+
 def cast_params(params, dtype):
     return {k: {kk: jnp.asarray(vv, dtype) for kk, vv in v.items()}
             for k, v in params.items()}

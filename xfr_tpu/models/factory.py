@@ -48,7 +48,7 @@ def _load_or_init(net_name, param_shapes, weights_path, strip_prefix=None,
     # stable per-net seed: Python's str hash is salted per process
     # (PYTHONHASHSEED) and would make "deterministic" init differ per run
     seed = zlib.crc32(net_name.encode()) % 2**31
-    return common.init_params(param_shapes, seed=seed)
+    return common.init_params_device(param_shapes, seed=seed)
 
 
 def create_wbnet(net_name, device=None, ebp_version=None,
