@@ -9,9 +9,16 @@ roi-pooled features.  Trunk/rpn/top run jitted on device; the proposal
 layer and roi pooling run on host like the reference (detection.py:97,
 proposals are 300 small boxes).
 
-The reference ships whole-module torch pickles (not state dicts), which
-cannot be converted mechanically; weights here come from a provided
-state_dict with matching names or deterministic random init.
+Layer structure and parameter names follow the readable MMdnn KitModel
+sources byte-for-byte (python/strface/models/detection/{bottom,rpn,top}_
+layers.py): Caffe branch naming (res2a_branch2a / bn2a_branch2a / ...),
+asymmetric right/bottom-padded pool1 (bottom_layers.py forward :227-228),
+dilation-2 res5 3x3 convs (top_layers.py forward), BN eps
+9.99999974738e-06, heads cls_score_1/bbox_pred_1, rpn_conv_3x3.  A
+state_dict extracted from the reference's pickled modules
+(torch.load(model).state_dict()) therefore converts mechanically — see
+``load_from_torch_state_dicts``.  tests/test_detection_structure.py
+cross-checks every conv/bn against the MMdnn sources.
 """
 
 from __future__ import annotations
@@ -26,25 +33,41 @@ from xfr_tpu.ebp import interpreter as I
 from xfr_tpu.models.common import init_params
 from xfr_tpu.detection import boxes as B
 
+_BN_EPS = 9.99999974738e-06  # MMdnn defs (bottom_layers.py)
 
-def _res_stage(g, x, cin, planes, cout, blocks, stride, prefix):
-    for b in range(blocks):
-        s = stride if b == 0 else 1
+
+def _caffe_block_tags(stage, blocks):
+    """Caffe block letters: res2{a,b,c}, res3{a,b1..}, res4{a,b1..b22},
+    res5{a,b,c} (bottom_layers.py / top_layers.py attribute names)."""
+    if blocks <= 3:
+        return ["abc"[b] for b in range(blocks)]
+    return ["a"] + ["b%d" % i for i in range(1, blocks)]
+
+
+def _res_stage(g, x, cin, planes, cout, blocks, stride, stage,
+               dilation=1):
+    for tag in _caffe_block_tags(stage, blocks):
+        s = stride if tag == "a" else 1
+        pad = dilation  # 3x3 conv keeps resolution: pad == dilation
         y = g.conv2d(x, cin, planes, 1, stride=s, bias=False,
-                     name=f"{prefix}.{b}.conv1")
-        y = g.batchnorm2d(y, planes, name=f"{prefix}.{b}.bn1")
+                     name=f"res{stage}{tag}_branch2a")
+        y = g.batchnorm2d(y, planes, eps=_BN_EPS,
+                          name=f"bn{stage}{tag}_branch2a")
         y = g.relu(y, inplace=True)
-        y = g.conv2d(y, planes, planes, 3, padding=1, bias=False,
-                     name=f"{prefix}.{b}.conv2")
-        y = g.batchnorm2d(y, planes, name=f"{prefix}.{b}.bn2")
+        y = g.conv2d(y, planes, planes, 3, padding=pad, dilation=dilation,
+                     bias=False, name=f"res{stage}{tag}_branch2b")
+        y = g.batchnorm2d(y, planes, eps=_BN_EPS,
+                          name=f"bn{stage}{tag}_branch2b")
         y = g.relu(y, inplace=True)
         y = g.conv2d(y, planes, cout, 1, bias=False,
-                     name=f"{prefix}.{b}.conv3")
-        y = g.batchnorm2d(y, cout, name=f"{prefix}.{b}.bn3")
-        if b == 0:
+                     name=f"res{stage}{tag}_branch2c")
+        y = g.batchnorm2d(y, cout, eps=_BN_EPS,
+                          name=f"bn{stage}{tag}_branch2c")
+        if tag == "a":
             r = g.conv2d(x, cin, cout, 1, stride=s, bias=False,
-                         name=f"{prefix}.{b}.downsample.0")
-            r = g.batchnorm2d(r, cout, name=f"{prefix}.{b}.downsample.1")
+                         name=f"res{stage}{tag}_branch1")
+            r = g.batchnorm2d(r, cout, eps=_BN_EPS,
+                              name=f"bn{stage}{tag}_branch1")
         else:
             r = x
         x = g.node("add", (y, r), hooked=False, tag="FuncAdd")
@@ -54,21 +77,23 @@ def _res_stage(g, x, cin, planes, cout, blocks, stride, prefix):
 
 
 def build_trunk():
-    """conv1..res4 (1024 ch, stride 16)."""
+    """conv1..res4 (1024 ch, stride 16) — bottom_layers.py KitModel."""
     g = GraphBuilder("frcnn_trunk")
     x = g.conv2d(0, 3, 64, 7, stride=2, padding=3, bias=False, name="conv1")
-    x = g.batchnorm2d(x, 64, name="bn1")
+    x = g.batchnorm2d(x, 64, eps=_BN_EPS, name="bn_conv1")
     x = g.relu(x, inplace=True)
-    x = g.maxpool2d(x, 3, stride=2, padding=1, ceil_mode=True)
-    x, cin = _res_stage(g, x, 64, 64, 256, 3, 1, "layer1")
-    x, cin = _res_stage(g, x, cin, 128, 512, 4, 2, "layer2")
-    x, cin = _res_stage(g, x, cin, 256, 1024, 23, 2, "layer3")
+    # pool1: right/bottom-only -inf pad + 3x3/2 pool (bottom_layers.py
+    # :227-228) == ceil_mode pooling with no leading pad
+    x = g.maxpool2d(x, 3, stride=2, padding=0, ceil_mode=True)
+    x, cin = _res_stage(g, x, 64, 64, 256, 3, 1, 2)
+    x, cin = _res_stage(g, x, cin, 128, 512, 4, 2, 3)
+    x, cin = _res_stage(g, x, cin, 256, 1024, 23, 2, 4)
     return g.finalize(x), g.param_shapes
 
 
 def build_rpn(num_anchors=9):
     g = GraphBuilder("frcnn_rpn")
-    x = g.conv2d(0, 1024, 512, 3, padding=1, name="rpn_conv")
+    x = g.conv2d(0, 1024, 512, 3, padding=1, name="rpn_conv_3x3")
     x = g.relu(x, inplace=True)
     cls = g.conv2d(x, 512, 2 * num_anchors, 1, name="rpn_cls_score")
     # cls is the graph output; bbox head built in a sibling graph for
@@ -78,23 +103,52 @@ def build_rpn(num_anchors=9):
 
 def build_rpn_bbox(num_anchors=9):
     g = GraphBuilder("frcnn_rpn_bbox")
-    x = g.conv2d(0, 1024, 512, 3, padding=1, name="rpn_conv")
+    x = g.conv2d(0, 1024, 512, 3, padding=1, name="rpn_conv_3x3")
     x = g.relu(x, inplace=True)
     bbox = g.conv2d(x, 512, 4 * num_anchors, 1, name="rpn_bbox_pred")
     return g.finalize(bbox), g.param_shapes
 
 
 def build_top(num_classes=2):
-    """res5 over 14x14 roi features -> global avgpool -> cls/bbox heads."""
+    """res5 (dilation-2 3x3s, stride-2 entry) over 14x14 roi features ->
+    7x7 avgpool -> cls/bbox heads (top_layers.py KitModel)."""
     g = GraphBuilder("frcnn_top")
-    x, cin = _res_stage(g, 0, 1024, 512, 2048, 3, 2, "layer4")
+    x, cin = _res_stage(g, 0, 1024, 512, 2048, 3, 2, 5, dilation=2)
     x = g.avgpool2d(x, 7, stride=1)
     x = g.flatten(x)
-    cls = g.linear(x, 2048, num_classes, name="cls_score")
-    bbox = g.linear(x, 2048, 4 * num_classes, name="bbox_pred")
+    cls = g.linear(x, 2048, num_classes, name="cls_score_1")
+    bbox = g.linear(x, 2048, 4 * num_classes, name="bbox_pred_1")
     # two heads: expose bbox as output, read cls from its tensor id
     g_out = g.finalize(bbox)
     return g_out, g.param_shapes, cls
+
+
+def load_from_torch_state_dicts(bottom_sd, rpn_sd, top_sd):
+    """Convert state_dicts of the reference's three detector modules.
+
+    The reference distributes the detector as whole-module torch pickles
+    (strface/detection.py:47-61).  Given those unpickled modules,
+    ``module.state_dict()`` keys are the MMdnn attribute names this
+    builder uses as parameter names, so conversion is mechanical:
+
+        import torch
+        net = FasterRCNNNetwork(params=load_from_torch_state_dicts(
+            torch.load(d + '/bottom.pkl').state_dict(),
+            torch.load(d + '/rpn.pkl').state_dict(),
+            torch.load(d + '/top.pkl').state_dict()))
+    """
+    from xfr_tpu.models.convert import params_from_state_dict
+
+    trunk_graph, trunk_shapes = build_trunk()
+    rpn_graph, rpn_shapes = build_rpn()
+    _, rpn_bbox_shapes = build_rpn_bbox()
+    rpn_shapes = {**rpn_shapes, **rpn_bbox_shapes}
+    _, top_shapes, _ = build_top()
+    return {
+        "trunk": params_from_state_dict(trunk_shapes, bottom_sd),
+        "rpn": params_from_state_dict(rpn_shapes, rpn_sd),
+        "top": params_from_state_dict(top_shapes, top_sd),
+    }
 
 
 class FasterRCNNNetwork:

@@ -233,15 +233,17 @@ class GraphBuilder:
     # -- layer helpers -----------------------------------------------------
 
     def conv2d(self, x, cin, cout, kernel, stride=1, padding=0, bias=True,
-               name="conv"):
+               dilation=1, name="conv"):
         pname = self._unique(name)
         kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
         shapes = {"w": (cout, cin, kh, kw)}
         if bias:
             shapes["b"] = (cout,)
         self.param_shapes[pname] = shapes
-        return self.node("conv2d", (x,), pname=pname,
-                         stride=O._pair(stride), padding=O._pair(padding))
+        attrs = dict(stride=O._pair(stride), padding=O._pair(padding))
+        if O._pair(dilation) != (1, 1):
+            attrs["dilation"] = O._pair(dilation)
+        return self.node("conv2d", (x,), pname=pname, **attrs)
 
     def linear(self, x, fin, fout, bias=True, name="fc"):
         pname = self._unique(name)

@@ -51,15 +51,19 @@ def _pool_out_size(size, k, s, p, ceil_mode):
 # ---------------------------------------------------------------------------
 
 
-def conv2d(params, xs, *, stride=(1, 1), padding=(0, 0)):
-    """2-D convolution, NCHW x OIHW (reference: resnet.py:116-122)."""
+def conv2d(params, xs, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1)):
+    """2-D convolution, NCHW x OIHW (reference: resnet.py:116-122;
+    dilation used by the detector's res5 stage,
+    strface/models/detection/top_layers.py forward)."""
     (x,) = xs
     stride, padding = _pair(stride), _pair(padding)
+    dilation = _pair(dilation)
     y = lax.conv_general_dilated(
         x,
         params["w"],
         window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=dilation,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     b = params.get("b")
