@@ -98,3 +98,34 @@ def test_weighted_subtree_batch_matches_single(gating):
         np.testing.assert_allclose(s_b, s_s, rtol=1e-4, atol=1e-7)
         for a, b in zip(maps_s, maps_b):
             np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("do_max", [False, True])
+def test_fused_select_merge_matches_host_path(do_max):
+    """The fused sweep+selection+merge kernel (used when
+    return_subtree_maps=False) equals the host-side selection path."""
+    wb, probe = _setup("norelu")
+    host = wb.weighted_subtree_ebp(
+        probe, 0, 1, topk=3, subtree_mode="norelu",
+        do_max_subtree=do_max, return_subtree_maps=True)
+    fused = wb.weighted_subtree_ebp(
+        probe, 0, 1, topk=3, subtree_mode="norelu",
+        do_max_subtree=do_max, return_subtree_maps=False)
+    assert fused[3] == host[3]  # k_subtree_valid
+    np.testing.assert_allclose(fused[2], host[2], rtol=1e-6)
+    np.testing.assert_allclose(fused[0], host[0], rtol=1e-4, atol=1e-7)
+    assert fused[1] == []
+
+
+def test_fused_select_merge_fewer_than_topk():
+    """When fewer than topk candidates are valid, selection keeps them
+    all (reference keeps the last <=topk valid entries)."""
+    wb, probe = _setup("norelu")
+    host = wb.weighted_subtree_ebp(
+        probe, 0, 1, topk=200, subtree_mode="norelu",
+        return_subtree_maps=True)
+    fused = wb.weighted_subtree_ebp(
+        probe, 0, 1, topk=200, subtree_mode="norelu",
+        return_subtree_maps=False)
+    assert fused[3] == host[3]
+    np.testing.assert_allclose(fused[0], host[0], rtol=1e-4, atol=1e-7)

@@ -857,6 +857,67 @@ class Whitebox:
         return self._kernel(("wsebp_sweep", mode, wb, n_buckets,
                              str(sweep_dt), id(mesh)), lambda: fn)
 
+    def _wsebp_sweep_select_fn(self, topk, do_max, n_buckets=12):
+        """jitted: full sweep + valid-subtree selection + weighted merge in
+        ONE program — one device sync per probe instead of three (maxes /
+        fetch+merge / smap), which matters on a high-latency device link.
+
+        Selection reproduces the reference exactly (whitebox.py:706-725):
+        candidates in ascending-score order (stable ties), keep the last
+        ``topk`` with map-max > 0 excluding event 1, min-max-normalize the
+        selected scores (all-ones fallback), normalize each map by its
+        max, merge by weighted sum or max."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        sweep_dt = self._wsebp_dtype
+        n_cand = graph.n_events - 1
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def row_shard(g):
+                spec = PartitionSpec(*(["dp"] + [None] * (g.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    g, NamedSharding(mesh, spec))
+        else:
+            row_shard = None
+
+        @jax.jit
+        def fn(params, x, elems, vals, scores):
+            params, x = self._prep(params, x, sweep_dt)
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+            P_out, maxes = I.ebp_backward_allevents(
+                graph, params, values, posvals, elems,
+                vals.astype(x.dtype), subtree_mode=mode, eps=eps,
+                with_bias=wb, n_buckets=n_buckets, row_shard=row_shard)
+
+            order = jnp.argsort(scores, stable=True)
+            valid = (maxes > 0) & (jnp.arange(n_cand) != 1)
+            v_ord = valid[order]
+            # of the valid candidates, keep the last topk in score order
+            rank_from_end = jnp.cumsum(v_ord[::-1])[::-1]
+            sel_ord = v_ord & (rank_from_end <= topk)
+            sel = jnp.zeros((n_cand,), bool).at[order].set(sel_ord)
+
+            vmin = jnp.min(jnp.where(sel, scores, jnp.inf))
+            vmax = jnp.max(jnp.where(sel, scores, -jnp.inf))
+            norm = (scores - vmin) / (eps + (vmax - vmin))
+            norm = jnp.where(sel, norm, 0.0).astype(jnp.float32)
+            norm = jnp.where(norm.sum() == 0, sel.astype(jnp.float32),
+                             norm)
+            mapn = P_out * (1.0 / (P_out.max(axis=(1, 2, 3),
+                                             keepdims=True) + 1e-12))
+            weighted = norm[:, None, None, None] * mapn * \
+                sel[:, None, None, None]
+            merged = (jnp.max(weighted, axis=0) if do_max
+                      else jnp.sum(weighted, axis=0))
+            return merged[0], sel
+
+        return self._kernel(("wsebp_sweep_select", mode, wb, n_buckets,
+                             int(topk), bool(do_max), str(sweep_dt),
+                             id(mesh)), lambda: fn)
+
     def _wsebp_buckets(self, n_buckets=6):
         """Static partition of candidate events 0..n_events-2 into buckets
         by fire node, each with its truncation start_node (= max node in
@@ -1003,6 +1064,39 @@ class Whitebox:
                     verbose, do_max_subtree, do_mwp_to_saliency,
                     max_candidates, return_subtree_maps):
         n_ev = self._n_events
+
+        if max_candidates is None and not return_subtree_maps:
+            # fused sweep+selection+merge: one device sync per probe
+            smap_dev, sel_dev = self._wsebp_sweep_select_fn(
+                topk, bool(do_max_subtree))(
+                self.net.params, x,
+                jnp.asarray(P_subtree_idx.astype(np.int32)),
+                jnp.asarray(inj_vals), jnp.asarray(P_subtree))
+            smap = np.asarray(smap_dev, np.float32)
+            sel = np.asarray(sel_dev)
+            k_order = np.argsort(P_subtree, kind="stable")
+            if verbose:
+                for k in k_order:
+                    print("[weighted_subtree_ebp][%d]: layername=%s, "
+                          "grad=%f" % (k, self.P_layername[k],
+                                       P_subtree[k]))
+            k_subtree_valid = [int(k) for k in k_order if sel[k]]
+            if len(k_subtree_valid) == 0:
+                raise RuntimeError(
+                    "Failed to calculate valid subtrees. The ebp subtree "
+                    "mode (%s) may not be supported by this type of "
+                    "network. You may want to try the "
+                    '"affineonly_with_prior" ebp subtree mode.'
+                    % self._ebp_subtree_mode)
+            P_subtree_valid = [float(P_subtree[k]) for k in k_subtree_valid]
+            if self.convert_saliency_uint8:
+                smap = self._float32_to_uint8(smap)
+            else:
+                smap = smap / max(smap.sum(), self.eps)
+            return (
+                self._mwp_to_saliency(smap) if do_mwp_to_saliency else smap,
+                [], P_subtree_valid, k_subtree_valid)
+
         # Candidate order: ascending score, like the reference's argsort
         # (whitebox.py:697); it then keeps the last topk valid entries.
         k_order = np.argsort(P_subtree, kind="stable")

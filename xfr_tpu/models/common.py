@@ -62,7 +62,10 @@ def init_params_device(param_shapes, seed=0, dtype=jnp.float32, scale=None):
                 if k == "w":
                     fan_out = shp[0] * (np.prod(shp[2:])
                                         if len(shp) > 2 else 1)
-                    std = scale or np.sqrt(2.0 / fan_out)
+                    # Python float: a np.float64 scalar is not weakly
+                    # typed and would promote the whole tree to f64
+                    # under jax_enable_x64
+                    std = float(scale or np.sqrt(2.0 / fan_out))
                     p[k] = jax.random.normal(kk, shp, dtype) * std
                 elif k == "b":
                     p[k] = jax.random.normal(kk, shp, dtype) * 0.01
