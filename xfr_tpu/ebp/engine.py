@@ -1227,10 +1227,11 @@ class Whitebox:
             imagesT = jnp.concatenate(
                 [imagesT, jnp.zeros((pad,) + imagesT.shape[1:],
                                     imagesT.dtype)])
-        embeds = []
-        for i in range(0, n + pad, bs):
-            embeds.append(np.asarray(self.encode(imagesT[i:i + bs])))
-        embeds = np.concatenate(embeds)[:n]
+        # keep chunk outputs on device (async dispatch pipelines the
+        # chunks); one sync + transfer at the end instead of one per chunk
+        embeds = [self.encode(imagesT[i:i + bs])
+                  for i in range(0, n + pad, bs)]
+        embeds = np.asarray(jnp.concatenate(embeds))[:n]
 
         if norm:
             flat = embeds.reshape(embeds.shape[0], -1)
