@@ -213,3 +213,87 @@ def test_subject_dists_cli_ijbc_fixture(tmp_path, monkeypatch):
     # chain into the threshold-calibration CLI on the written npzs
     calc_match_threshold.main(["resnetv4_pytorch", "--dists-dir", out_dir])
     assert os.path.exists(os.path.join(out_dir, "roc.png"))
+
+
+def test_filter_dataset_cli(tmp_path, monkeypatch):
+    """xfr-filter-dataset writes filtered_masks_threshold-{net}.csv on the
+    synthetic mini dataset (reference: eval/filter_inpaintinggame_for_net)."""
+    import pandas as pd
+
+    import xfr_tpu.models
+    from tests.fixtures import make_mini_dataset
+    from xfr_tpu.cli import filter_dataset
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    # mask 0 doubles as the ORIGINAL_PATTERN (00000_truth.png)
+    make_mini_dataset(data_dir, net_name="toynet", mask_ids=(0, 2))
+
+    wb = make_toy_wbnet(subtree_mode="all")
+    # calibrate the match threshold to the toy net's distance scale
+    # (production uses xfr-calc-match-threshold for this): separability
+    # needs pr_dist < thr < twin_pr_dist
+    pr = np.linalg.norm(
+        wb.embeddings([os.path.join(
+            data_dir, "aligned/1/img/p1/inpainted/00000_truth.png")])[0] -
+        wb.embeddings([os.path.join(
+            data_dir, "aligned/1/img/ref0/inpainted/00000_truth.png")])[0])
+    tpr = np.linalg.norm(
+        wb.embeddings([os.path.join(
+            data_dir, "aligned/1/img/p1/inpainted/00000_out_0.png")])[0] -
+        wb.embeddings([os.path.join(
+            data_dir, "aligned/1/img/ref0/inpainted/00000_truth.png")])[0])
+    wb.match_threshold = float((pr + tpr) / 2)
+    monkeypatch.setattr(xfr_tpu.models, "create_wbnet",
+                        lambda name, **kw: wb)
+    monkeypatch.setattr(xfr_tpu, "inpaintgame2_dir", data_dir)
+
+    filter_dataset.main(["toynet", "--data-dir", data_dir,
+                         "--mask-ids", "0", "2"])
+    out = os.path.join(data_dir, "filtered_masks_threshold-toynet.csv")
+    assert os.path.exists(out)
+    df = pd.read_csv(out)
+    assert set(df.columns) >= {"SUBJECT_ID", "MASK_ID",
+                               "ORIGINAL_BASENAME", "OriginalFile",
+                               "InpaintingFile", "TRIPLET_SET"}
+    assert len(df) > 0
+    assert set(df["TRIPLET_SET"]) == {"PROBE", "REF"}
+
+
+def test_hiding_game_cli(tmp_path, monkeypatch):
+    """xfr-hiding-game scores generated saliency maps into a csv."""
+    import pandas as pd
+
+    import xfr_tpu.models
+    from tests.fixtures import make_mini_dataset
+    from xfr_tpu.cli import hiding_game
+    from xfr_tpu.inpainting_game import generate as G
+
+    data_dir = str(tmp_path / "data")
+    smaps_dir = str(tmp_path / "smaps")
+    out_dir = str(tmp_path / "out")
+    for d in (data_dir, smaps_dir, out_dir):
+        os.makedirs(d)
+    make_mini_dataset(data_dir, net_name="toynet", mask_ids=(2,))
+
+    wb = make_toy_wbnet(subtree_mode="all")
+    # MASK_ID as a zero-padded string: file naming interop depends on it
+    G.generate_wb_smaps(wb, "toynet", "img/p1", 1, "00002",
+                        subtree_mode_weighted="all", ebp_ver=6,
+                        overwrite=True, method="meanEBP",
+                        data_dir=data_dir, smaps_dir=smaps_dir)
+
+    monkeypatch.setattr(xfr_tpu.models, "create_wbnet",
+                        lambda name, **kw: wb)
+    hiding_game.main(["--net", "toynet",
+                      "--method", "meanEBP_mode=all_v06_cpu",
+                      "--data-dir", data_dir,
+                      "--saliency-dir", smaps_dir,
+                      "--output", out_dir, "--delta-pct", "25"])
+    out_csv = os.path.join(out_dir,
+                           "hiding-game-meanEBP_mode=all_v06_cpu.csv")
+    assert os.path.exists(out_csv)
+    df = pd.read_csv(out_csv)
+    assert len(df) > 0
+    assert {"hidden_pct", "score"} <= set(df.columns)
+    assert np.isfinite(df["score"]).all()
