@@ -59,20 +59,23 @@ def main():
     nonmates = np.tile(en / 2500.0, (B, 1))
 
     def mix():
-        # meanEBP over the full classifier (generate_wb_smaps_batched path)
+        # Launch-all-then-drain, mirroring generate_wb_smaps_batched:
+        # every method's device programs enqueue before any sync, so host
+        # post-processing overlaps the device queue.
         wb.net.reset_classifier()
         Pn_mean = jnp.ones((B, wb.net.num_classes()), jnp.float32)
-        pooled, _ = wb._ebp_pooled_fn()(wb.net.params, probes, Pn_mean)
-        pooled = np.asarray(pooled, np.float32)
-        s1 = [wb._mwp_to_saliency(pooled[i]) for i in range(B)]
-        # contrastive + truncated from one fused device launch
+        pooled_dev, _ = wb._ebp_pooled_fn()(wb.net.params, probes, Pn_mean)
         wb.set_triplet_classifier_batch(mates, nonmates)
-        s2, s3 = wb.contrastive_ebp_batch_both(probes, truncate_percent=20)
+        finish_ct = wb.launch_contrastive_ebp_batch_both(
+            probes, truncate_percent=20)
         wb.set_triplet_classifier_batch(np.tile(em, (B, 1)),
                                         np.tile(en, (B, 1)))
-        s4 = [r[0] for r in wb.weighted_subtree_ebp_batch(
-            probes, topk=32, subtree_mode="norelu",
-            return_subtree_maps=False)]
+        finish_ws = wb.launch_weighted_subtree_ebp_batch(
+            probes, topk=32, subtree_mode="norelu")
+        pooled = np.asarray(pooled_dev, np.float32)
+        s1 = [wb._mwp_to_saliency(pooled[i]) for i in range(B)]
+        s2, s3 = finish_ct()
+        s4 = [r[0] for r in finish_ws()]
         return s1 + s2 + s3 + s4
 
     mix()  # warmup / compile

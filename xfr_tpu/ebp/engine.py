@@ -680,19 +680,33 @@ class Whitebox:
         return self._kernel(("contrastive_both", mode, wb,
                              str(cdt)), lambda: fn)
 
+    def launch_contrastive_ebp_batch_both(self, x, truncate_percent=20):
+        """Enqueue the batched contrastive+truncated program and return a
+        ``finish()`` closure producing (contrastive maps, truncated maps).
+
+        Launch/finish split lets callers overlap the device work and the
+        result transfer with other launches (the weighted-subtree sweeps,
+        host png writes) instead of paying a device-link round trip per
+        method."""
+        x, B = self._pad_probe_batch(x)
+        Pns = self._shard_rows(
+            self._batch_cotangents(x.shape[0], "contrastive"), batch_axis=1)
+        contr_dev, trunc_dev = self._contrastive_both_fn()(
+            self.net.params, x, Pns, jnp.float32(truncate_percent))
+
+        def finish():
+            contr = np.asarray(contr_dev, np.float32)
+            trunc = np.asarray(trunc_dev, np.float32)
+            return ([self._mwp_to_saliency(contr[i]) for i in range(B)],
+                    [self._mwp_to_saliency(trunc[i]) for i in range(B)])
+
+        return finish
+
     def contrastive_ebp_batch_both(self, x, truncate_percent=20):
         """Batched contrastive + truncated-contrastive in one device launch:
         x [B,C,H,W] -> (list of B contrastive maps, list of B truncated
         maps)."""
-        x, B = self._pad_probe_batch(x)
-        Pns = self._shard_rows(
-            self._batch_cotangents(x.shape[0], "contrastive"), batch_axis=1)
-        contr, trunc = self._contrastive_both_fn()(
-            self.net.params, x, Pns, jnp.float32(truncate_percent))
-        contr = np.asarray(contr, np.float32)
-        trunc = np.asarray(trunc, np.float32)
-        return ([self._mwp_to_saliency(contr[i]) for i in range(B)],
-                [self._mwp_to_saliency(trunc[i]) for i in range(B)])
+        return self.launch_contrastive_ebp_batch_both(x, truncate_percent)()
 
     # ------------------------------------------------------------------
     # Weighted subtree EBP
@@ -1013,6 +1027,50 @@ class Whitebox:
         return self._kernel(("wsebp_grad_batch", mode, wb,
                              str(self.compute_dtype)), lambda: fn)
 
+    def launch_weighted_subtree_ebp_batch(self, x, topk=1, verbose=False,
+                                          do_max_subtree=False,
+                                          do_mated_similarity_gating=True,
+                                          subtree_mode="norelu",
+                                          do_mwp_to_saliency=True):
+        """Enqueue the whole weighted-subtree batch (ranking pass + B fused
+        candidate sweeps, chained on device with NO intermediate host
+        sync) and return a ``finish()`` closure yielding the result list.
+
+        The per-call device sync costs ~60 ms on a high-latency link;
+        launching every program before draining any hides it behind the
+        device queue (measured 1.04 s -> 0.57 s for the B=8 sweep stage).
+        """
+        x_pad, B = self._pad_probe_batch(x)
+        x = jnp.asarray(x, jnp.float32)
+        prev_mode = self._ebp_subtree_mode
+        self._ebp_subtree_mode = subtree_mode
+        try:
+            scores_d, idxs_d, vals_d = self._wsebp_grad_batch_fn()(
+                self.net.params, x_pad,
+                gating=bool(do_mated_similarity_gating))
+            # sweep inputs are device-sliced ranking outputs: no host
+            # round trip between the two stages
+            idxs32 = idxs_d.astype(jnp.int32)
+            launches = [self._wsebp_fused_launch(
+                            x[i:i + 1], idxs32[i], vals_d[i],
+                            scores_d[i], topk, do_max_subtree)
+                        for i in range(B)]
+        finally:
+            self._ebp_subtree_mode = prev_mode
+
+        def finish():
+            prev = self._ebp_subtree_mode
+            self._ebp_subtree_mode = subtree_mode
+            try:
+                scores = np.asarray(scores_d, np.float32)
+                return [self._wsebp_fused_finish(
+                            sm, sel, scores[i], verbose, do_mwp_to_saliency)
+                        for i, (sm, sel) in enumerate(launches)]
+            finally:
+                self._ebp_subtree_mode = prev
+
+        return finish
+
     def weighted_subtree_ebp_batch(self, x, topk=1, verbose=False,
                                    do_max_subtree=False,
                                    do_mated_similarity_gating=True,
@@ -1027,17 +1085,24 @@ class Whitebox:
 
         Returns a list of (smap, P_img_valid, P_subtree_valid,
         k_subtree_valid) tuples."""
+        if not return_subtree_maps:
+            return self.launch_weighted_subtree_ebp_batch(
+                x, topk=topk, verbose=verbose,
+                do_max_subtree=do_max_subtree,
+                do_mated_similarity_gating=do_mated_similarity_gating,
+                subtree_mode=subtree_mode,
+                do_mwp_to_saliency=do_mwp_to_saliency)()
         x_pad, B = self._pad_probe_batch(x)
         x = jnp.asarray(x, jnp.float32)
         prev_mode = self._ebp_subtree_mode
         self._ebp_subtree_mode = subtree_mode
         try:
-            scores, idxs, vals = self._wsebp_grad_batch_fn()(
+            scores_d, idxs_d, vals_d = self._wsebp_grad_batch_fn()(
                 self.net.params, x_pad,
                 gating=bool(do_mated_similarity_gating))
-            scores = np.asarray(scores, np.float32)
-            idxs = np.asarray(idxs)
-            vals = np.asarray(vals, np.float32)
+            scores = np.asarray(scores_d, np.float32)
+            idxs = np.asarray(idxs_d)
+            vals = np.asarray(vals_d, np.float32)
             return [self._wsebp_post(
                         x[i:i + 1], scores[i], idxs[i], vals[i], topk,
                         verbose, do_max_subtree, do_mwp_to_saliency,
@@ -1060,6 +1125,43 @@ class Whitebox:
             np.asarray(vals, np.float32), topk, verbose, do_max_subtree,
             do_mwp_to_saliency, max_candidates, return_subtree_maps)
 
+    def _wsebp_fused_launch(self, x, elems, vals, scores, topk,
+                            do_max_subtree):
+        """Enqueue one probe's fused sweep+select+merge program; returns
+        device handles WITHOUT syncing, so callers can batch launches and
+        hide the per-call device-link round trip."""
+        return self._wsebp_sweep_select_fn(topk, bool(do_max_subtree))(
+            self.net.params, x, elems, vals, scores)
+
+    def _wsebp_fused_finish(self, smap_dev, sel_dev, P_subtree, verbose,
+                            do_mwp_to_saliency):
+        """Host side of the fused weighted-subtree path: fetch the merged
+        map + selection mask, reconstruct the reference's valid-subtree
+        bookkeeping (whitebox.py:706-725), normalize."""
+        smap = np.asarray(smap_dev, np.float32)
+        sel = np.asarray(sel_dev)
+        k_order = np.argsort(P_subtree, kind="stable")
+        if verbose:
+            for k in k_order:
+                print("[weighted_subtree_ebp][%d]: layername=%s, "
+                      "grad=%f" % (k, self.P_layername[k], P_subtree[k]))
+        k_subtree_valid = [int(k) for k in k_order if sel[k]]
+        if len(k_subtree_valid) == 0:
+            raise RuntimeError(
+                "Failed to calculate valid subtrees. The ebp subtree "
+                "mode (%s) may not be supported by this type of "
+                "network. You may want to try the "
+                '"affineonly_with_prior" ebp subtree mode.'
+                % self._ebp_subtree_mode)
+        P_subtree_valid = [float(P_subtree[k]) for k in k_subtree_valid]
+        if self.convert_saliency_uint8:
+            smap = self._float32_to_uint8(smap)
+        else:
+            smap = smap / max(smap.sum(), self.eps)
+        return (
+            self._mwp_to_saliency(smap) if do_mwp_to_saliency else smap,
+            [], P_subtree_valid, k_subtree_valid)
+
     def _wsebp_post(self, x, P_subtree, P_subtree_idx, inj_vals, topk,
                     verbose, do_max_subtree, do_mwp_to_saliency,
                     max_candidates, return_subtree_maps):
@@ -1067,35 +1169,12 @@ class Whitebox:
 
         if max_candidates is None and not return_subtree_maps:
             # fused sweep+selection+merge: one device sync per probe
-            smap_dev, sel_dev = self._wsebp_sweep_select_fn(
-                topk, bool(do_max_subtree))(
-                self.net.params, x,
-                jnp.asarray(P_subtree_idx.astype(np.int32)),
-                jnp.asarray(inj_vals), jnp.asarray(P_subtree))
-            smap = np.asarray(smap_dev, np.float32)
-            sel = np.asarray(sel_dev)
-            k_order = np.argsort(P_subtree, kind="stable")
-            if verbose:
-                for k in k_order:
-                    print("[weighted_subtree_ebp][%d]: layername=%s, "
-                          "grad=%f" % (k, self.P_layername[k],
-                                       P_subtree[k]))
-            k_subtree_valid = [int(k) for k in k_order if sel[k]]
-            if len(k_subtree_valid) == 0:
-                raise RuntimeError(
-                    "Failed to calculate valid subtrees. The ebp subtree "
-                    "mode (%s) may not be supported by this type of "
-                    "network. You may want to try the "
-                    '"affineonly_with_prior" ebp subtree mode.'
-                    % self._ebp_subtree_mode)
-            P_subtree_valid = [float(P_subtree[k]) for k in k_subtree_valid]
-            if self.convert_saliency_uint8:
-                smap = self._float32_to_uint8(smap)
-            else:
-                smap = smap / max(smap.sum(), self.eps)
-            return (
-                self._mwp_to_saliency(smap) if do_mwp_to_saliency else smap,
-                [], P_subtree_valid, k_subtree_valid)
+            smap_dev, sel_dev = self._wsebp_fused_launch(
+                x, jnp.asarray(P_subtree_idx.astype(np.int32)),
+                jnp.asarray(inj_vals), jnp.asarray(P_subtree), topk,
+                do_max_subtree)
+            return self._wsebp_fused_finish(
+                smap_dev, sel_dev, P_subtree, verbose, do_mwp_to_saliency)
 
         # Candidate order: ascending score, like the reference's argsort
         # (whitebox.py:697); it then keeps the last topk valid entries.

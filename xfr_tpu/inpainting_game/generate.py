@@ -398,53 +398,70 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
         x = jnp.concatenate([j["x"] for j in group])
         B = len(group)
 
+        # Launch-all-then-drain: every method's device programs are
+        # enqueued before any result is fetched, so host work (saliency
+        # post-processing, png/npz writes) and per-sync device-link round
+        # trips overlap with the device queue.  Classifier swaps between
+        # launches are safe: each launch captures the params it was given.
+        flags = _WSEBP_FLAGS.get(ebp_ver,
+                                 dict(do_max_subtree=False,
+                                      do_mated_similarity_gating=False))
+        pooled_dev = None
         if any(j["todo"]["meanEBP"] for j in group):
             wb.net.reset_classifier()
             Pn = jnp.ones((B, wb.net.num_classes()), jnp.float32)
-            pooled, _ = wb._ebp_pooled_fn()(wb.net.params, x, Pn)
-            pooled = np.asarray(pooled, np.float32)
+            pooled_dev, _ = wb._ebp_pooled_fn()(wb.net.params, x, Pn)
+
+        finish_ct = None
+        if any(j["todo"]["contrastive"] for j in group) or \
+                any(j["todo"]["trunc"] for j in group):
+            wb.set_triplet_classifier_batch(
+                np.stack([j["em"] / 2500.0 for j in group]),
+                np.stack([j["en"] / 2500.0 for j in group]))
+            finish_ct = wb.launch_contrastive_ebp_batch_both(
+                x, truncate_percent=20)
+
+        finish_ws = None
+        if any(j["todo"]["weighted-subtree"] for j in group) and \
+                wsebp_max_candidates is None:
+            # batched ranking pass + per-probe static sweeps (one
+            # shape -> one compile per group size)
+            wb.set_triplet_classifier_batch(
+                np.stack([j["em"] for j in group]),
+                np.stack([j["en"] for j in group]))
+            finish_ws = wb.launch_weighted_subtree_ebp_batch(
+                x, topk=32, subtree_mode=subtree_mode_weighted,
+                verbose=False, **flags)
+
+        if pooled_dev is not None:
+            pooled = np.asarray(pooled_dev, np.float32)
             for i, j in enumerate(group):
                 if j["todo"]["meanEBP"]:
                     _write(j, "meanEBP", wb._mwp_to_saliency(pooled[i]))
-
-        mates_b = np.stack([j["em"] / 2500.0 for j in group])
-        nonmates_b = np.stack([j["en"] / 2500.0 for j in group])
-        if any(j["todo"]["contrastive"] for j in group) or \
-                any(j["todo"]["trunc"] for j in group):
-            wb.set_triplet_classifier_batch(mates_b, nonmates_b)
-            cons, truncs = wb.contrastive_ebp_batch_both(
-                x, truncate_percent=20)
+        if finish_ct is not None:
+            cons, truncs = finish_ct()
             for i, j in enumerate(group):
                 if j["todo"]["contrastive"]:
                     _write(j, "contrastive", cons[i])
                 if j["todo"]["trunc"]:
                     _write(j, "trunc", truncs[i])
-
-        flags = _WSEBP_FLAGS.get(ebp_ver,
-                                 dict(do_max_subtree=False,
-                                      do_mated_similarity_gating=False))
-        if any(j["todo"]["weighted-subtree"] for j in group):
-            if wsebp_max_candidates is None:
-                # batched ranking pass + per-probe static sweeps (one
-                # shape -> one compile per group size)
-                wb.set_triplet_classifier_batch(
-                    np.stack([j["em"] for j in group]),
-                    np.stack([j["en"] for j in group]))
-                results = wb.weighted_subtree_ebp_batch(
-                    x, topk=32, subtree_mode=subtree_mode_weighted,
-                    verbose=False, return_subtree_maps=False, **flags)
-                for j, (smap, _, _, _) in zip(group, results):
-                    if j["todo"]["weighted-subtree"]:
-                        _write(j, "weighted-subtree", smap)
-            else:
-                for i, j in enumerate(group):
-                    if not j["todo"]["weighted-subtree"]:
-                        continue
-                    wb.net.set_triplet_classifier(j["em"], j["en"])
-                    smap, _, _, _ = wb.weighted_subtree_ebp(
-                        x[i:i + 1], 0, 1, topk=32,
-                        subtree_mode=subtree_mode_weighted, verbose=False,
-                        max_candidates=wsebp_max_candidates,
-                        return_subtree_maps=False, **flags)
+        if finish_ws is not None:
+            for j, (smap, _, _, _) in zip(group, finish_ws()):
+                if j["todo"]["weighted-subtree"]:
                     _write(j, "weighted-subtree", smap)
+
+        if any(j["todo"]["weighted-subtree"] for j in group) and \
+                wsebp_max_candidates is not None:
+            # bounded-candidate fast path stays per-probe (dynamic
+            # candidate subset -> traced-injection sweep)
+            for i, j in enumerate(group):
+                if not j["todo"]["weighted-subtree"]:
+                    continue
+                wb.net.set_triplet_classifier(j["em"], j["en"])
+                smap, _, _, _ = wb.weighted_subtree_ebp(
+                    x[i:i + 1], 0, 1, topk=32,
+                    subtree_mode=subtree_mode_weighted, verbose=False,
+                    max_candidates=wsebp_max_candidates,
+                    return_subtree_maps=False, **flags)
+                _write(j, "weighted-subtree", smap)
     return len(pend)
