@@ -170,3 +170,43 @@ def test_strise_score_masks_under_mesh():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(sh.saliency_map, ref.saliency_map,
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_train_and_eval_step_sharded_match_single():
+    """make_train_step / make_eval_step over a (dp, mp) mesh reproduce the
+    unsharded step (loss + updated params + top-1 hits)."""
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.train.finetune import make_eval_step, make_train_step
+
+    wb = make_toy_wbnet(num_classes=8, seed=3)
+    graph = wb.net.graph
+    rng = np.random.RandomState(3)
+    x = rng.rand(8, 3, 224, 224).astype(np.float32)
+    y = (np.arange(8) % wb.net.num_classes()).astype(np.int32)
+
+    step1, init1 = make_train_step(graph, wb.net.classifier_pname)
+    p1, o1 = init1(wb.net.params)
+    p1, o1, loss1 = step1(p1, o1, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = make_mesh((4, 2), ("dp", "mp"))
+    wb2 = make_toy_wbnet(num_classes=8, seed=3)
+    stepm, initm = make_train_step(graph, wb2.net.classifier_pname,
+                                   mesh=mesh)
+    pm, om = initm(wb2.net.params)
+    x_sh, _ = shard_batch(mesh, x, axis="dp")
+    y_sh, _ = shard_batch(mesh, y, axis="dp")
+    pm, om, lossm = stepm(pm, om, x_sh, y_sh)
+    np.testing.assert_allclose(float(lossm), float(loss1), rtol=1e-5)
+    flat1, _ = jax.tree.flatten(p1)
+    flatm, _ = jax.tree.flatten(pm)
+    for a, b in zip(flatm, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    ev1 = make_eval_step(graph)
+    evm = make_eval_step(graph, mesh=mesh)
+    l1, h1 = ev1(p1, jnp.asarray(x), jnp.asarray(y))
+    lm, hm = evm(pm, x_sh, y_sh)
+    np.testing.assert_allclose(float(lm), float(l1), rtol=1e-5)
+    assert int(hm) == int(h1)

@@ -63,3 +63,28 @@ def make_train_step(graph, classifier_pname, mesh=None, dp_axis="dp",
     y_sh = data_sharding(mesh, dp_axis, 1)
     step_fn = jax.jit(step, in_shardings=(None, None, x_sh, y_sh))
     return step_fn, init_fn
+
+
+def make_eval_step(graph, mesh=None, dp_axis="dp"):
+    """Jitted validation step: (params, x, y) -> (mean loss, top-1 hits).
+
+    Functional analog of the reference's `run_validation`/
+    `load_val_batches` (xfr/utils.py:337-355, dead code there); batch
+    shards over 'dp' when a mesh is given.  BatchNorm stats are explicit
+    params here, so eval is frozen-stats by construction (the reference
+    needs freeze_batchnorm_stats for that).
+    """
+
+    def step(params, x, y):
+        values = I.forward_clean(graph, params, x)
+        logits = values[graph.output_id]
+        loss = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(logits, y))
+        hits = jnp.sum(jnp.argmax(logits, axis=-1) == y)
+        return loss, hits
+
+    if mesh is None:
+        return jax.jit(step)
+    x_sh = data_sharding(mesh, dp_axis, 4)
+    y_sh = data_sharding(mesh, dp_axis, 1)
+    return jax.jit(step, in_shardings=(None, x_sh, y_sh))
