@@ -114,3 +114,43 @@ def test_detector_pipeline_smoke():
 
     out2 = det.detect(img, padding=10)
     assert out2.shape[1] == 5
+
+
+def test_roi_pool_vectorized_matches_naive():
+    """The separable row/col-pooled roi_pool equals the per-bin loop
+    (torchvision semantics) on random RoIs incl. degenerate ones."""
+    from xfr_tpu.detection.boxes import roi_pool
+
+    rng = np.random.RandomState(0)
+    feats = rng.rand(1, 5, 38, 50).astype(np.float32)
+    R = 40
+    x1 = rng.randint(0, 45, R)
+    y1 = rng.randint(0, 34, R)
+    rois = np.stack([
+        np.zeros(R), x1 * 16.0, y1 * 16.0,
+        (x1 + rng.randint(0, 20, R)) * 16.0,
+        (y1 + rng.randint(0, 20, R)) * 16.0], axis=1).astype(np.float32)
+    rois[-1, 1:] = [799.0, 607.0, 799.0, 607.0]  # 1x1 RoI at the border
+
+    got = roi_pool(feats, rois, (14, 14), 1.0 / 16)
+
+    _, C, H, W = feats.shape
+    ph = pw = 14
+    want = np.zeros((R, C, ph, pw), np.float32)
+    for r in range(R):
+        rx1 = int(round(rois[r, 1] / 16))
+        ry1 = int(round(rois[r, 2] / 16))
+        rx2 = int(round(rois[r, 3] / 16))
+        ry2 = int(round(rois[r, 4] / 16))
+        bw = max(rx2 - rx1 + 1, 1) / pw
+        bh = max(ry2 - ry1 + 1, 1) / ph
+        for i in range(ph):
+            hs = min(max(ry1 + int(np.floor(i * bh)), 0), H)
+            he = min(max(ry1 + int(np.ceil((i + 1) * bh)), 0), H)
+            for j in range(pw):
+                ws = min(max(rx1 + int(np.floor(j * bw)), 0), W)
+                we = min(max(rx1 + int(np.ceil((j + 1) * bw)), 0), W)
+                if he > hs and we > ws:
+                    want[r, :, i, j] = feats[0, :, hs:he, ws:we].max(
+                        axis=(1, 2))
+    np.testing.assert_array_equal(got, want)
