@@ -43,9 +43,14 @@ def _golden_maps():
     P0 = np.zeros((1, wb.net.num_classes()), np.float32)
     P0[0, 0] = 1.0
     maps["ebp"] = wb.ebp(x, jnp.asarray(P0))
+    maps["mean_ebp"] = wb.ebp(
+        x, jnp.ones((1, wb.net.num_classes()), jnp.float32)
+        / wb.net.num_classes())
     maps["contrastive_ebp"] = wb.contrastive_ebp(x, 0, 100)
     maps["truncated_contrastive_ebp"] = wb.truncated_contrastive_ebp(
         x, 0, 100, percentile=20)
+    maps["layerwise_ebp_k37"] = wb.layerwise_ebp(
+        x, k_layer=37, mode="argmax", k_poschannel=0)
 
     # triplet scenarios against deterministic encodings of shifted faces
     mate = np.roll(face, 3, axis=0)
@@ -54,6 +59,8 @@ def _golden_maps():
     en = np.asarray(wb.encode(wb.convert_from_numpy(nonmate)))[0]
     wb.net.set_triplet_classifier(em / 2500.0, en / 2500.0)
     maps["contrastive_triplet_ebp"] = wb.contrastive_ebp(x, 0, 1)
+    maps["layerwise_contrastive_ebp_mean"] = wb.layerwise_contrastive_ebp(
+        x, 0, 1, k_layer=37, mode="mean")
 
     wb5 = create_wbnet("resnetv4_pytorch", ebp_version=5)
     wb5.net.set_triplet_classifier(em, en)
