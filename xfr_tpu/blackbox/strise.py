@@ -485,6 +485,52 @@ class STRise:
         saliency_map /= saliency_map.max()
         self.saliency_map = saliency_map
 
+    # -- gallery visualization (blackbox.py:483-533) --------------------------
+
+    def _gallery_montage(self):
+        """Gallery montage figure shared by plot_gallery / save_gallery
+        (reference: blackbox.py:483-533)."""
+        import math
+
+        import matplotlib.pyplot as plt
+
+        ncols = 10
+        nrows = int(math.ceil(1.0 * self.gallery_size / ncols))
+        fig, axes = plt.subplots(ncols=ncols, nrows=nrows, squeeze=False,
+                                 figsize=(ncols, nrows))
+        if _is_dataframe(self.gallery):
+            ims = (center_crop(self.gallery.at[i, "Filename"],
+                               convert_uint8=False)
+                   for i in self.gallery.index)
+        else:
+            ims = iter(self.gallery)
+        i = -1
+        for i, im in enumerate(ims):
+            ax = axes.flat[i]
+            ax.set_xticks([])
+            ax.set_yticks([])
+            ax.xaxis.label.set_visible(False)
+            ax.yaxis.label.set_visible(False)
+            ax.imshow(im)
+        for ii in range(i + 1, nrows * ncols):
+            fig.delaxes(axes.flat[ii])
+        fig.tight_layout(pad=0, w_pad=0, h_pad=0)
+        fig.subplots_adjust(hspace=0, wspace=0)
+        return fig
+
+    def plot_gallery(self):
+        import matplotlib.pyplot as plt
+
+        self._gallery_montage()
+        plt.show()
+
+    def save_gallery(self, filename):
+        import matplotlib.pyplot as plt
+
+        fig = self._gallery_montage()
+        fig.savefig(filename, bbox_inches="tight")
+        plt.close(fig)
+
     # -- driver (blackbox.py:450-479) ----------------------------------------
 
     def evaluate(self):

@@ -99,6 +99,24 @@ class WhiteboxNetwork:
                 f"no preprocess function registered for {self.name}")
         return self._preprocess(im)
 
+    def encode(self, x):
+        """Embedding forward (reference: whitebox.py:58-60 contract).
+        Prefer Whitebox.encode for the jit-cached variant."""
+        from xfr_tpu.ebp import interpreter as I
+        return I.forward_clean(self.graph, self.params,
+                               jnp.asarray(x))[self.encode_tensor]
+
+    def classify(self, x):
+        """Classifier forward (reference: whitebox.py:62-64 contract)."""
+        from xfr_tpu.ebp import interpreter as I
+        return I.forward_clean(self.graph, self.params,
+                               jnp.asarray(x))[self.graph.output_id]
+
+    def clear(self):
+        """Hook-state clearing in the reference (whitebox.py:66-71); the
+        functional interpreter keeps no per-call layer state, so this is
+        a deliberate no-op kept for API parity."""
+
 
 class Whitebox:
     """Whitebox EBP saliency engine (reference: whitebox.py:261-824)."""
