@@ -106,6 +106,19 @@ def test_l2_similarity_range():
                                atol=1e-12)
 
 
+def test_strise_save_gallery(tmp_path):
+    """save_gallery writes a montage image (reference: blackbox.py:500)."""
+    probe = np.zeros((224, 224, 3), np.uint8)
+    probe[0, 0] = 255
+    gal = [np.full((224, 224, 3), v, np.uint8) for v in (10, 120, 240)]
+    st = STRise(probe=probe, refs=[probe], gallery=gal,
+                black_box_fn=lambda a, b: np.ones((len(a), len(b))),
+                prior_type="uniform", num_masks=4)
+    out = tmp_path / "gallery.png"
+    st.save_gallery(str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_strise_validation_errors():
     probe = np.zeros((224, 224, 3), np.uint8)
     probe[0, 0] = 255

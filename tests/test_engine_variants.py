@@ -62,3 +62,21 @@ def test_argmax_layerwise_concentrates(wb_and_probe):
                           k_poschannel=2, mwp=True)
     # a single-subtree prior yields no more total mass than the full EBP
     assert lw.sum() <= full.sum() * (1 + 1e-3)
+
+
+def test_network_adapter_contract(wb_and_probe):
+    """WhiteboxNetwork abstract-contract methods (reference:
+    whitebox.py:58-71): encode returns the embedding tensor, classify the
+    logits, clear is a safe no-op."""
+    wb, probe = wb_and_probe
+    net = wb.net
+    emb = np.asarray(net.encode(probe))
+    assert emb.shape == (1, net.embed_dim or emb.shape[1])
+    logits = np.asarray(net.classify(probe))
+    assert logits.shape == (1, net.num_classes())
+    # eager vs jit fusion differ at ~1e-6 relative
+    np.testing.assert_allclose(
+        emb, np.asarray(wb.encode(probe)), rtol=1e-4, atol=1e-5)
+    net.clear()  # no-op, must not raise or change state
+    np.testing.assert_allclose(
+        np.asarray(net.classify(probe)), logits, rtol=0, atol=0)

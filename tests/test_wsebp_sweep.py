@@ -100,6 +100,36 @@ def test_weighted_subtree_batch_matches_single(gating):
             np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7)
 
 
+def test_fused_batch_scan_matches_single():
+    """The scan-batched fused path (launch_weighted_subtree_ebp_batch with
+    mesh=None: one program, shared batch-B forward captures) equals
+    per-probe weighted_subtree_ebp with each probe's 2-class classifier."""
+    wb = make_toy_wbnet(num_classes=4, seed=5, subtree_mode="all")
+    rng = np.random.RandomState(13)
+    B = 3
+    probes = jnp.asarray(rng.rand(B, 3, 224, 224), jnp.float32)
+    ems = rng.rand(B, 12).astype(np.float32)
+    ens = rng.rand(B, 12).astype(np.float32)
+    ems /= np.linalg.norm(ems, axis=1, keepdims=True)
+    ens /= np.linalg.norm(ens, axis=1, keepdims=True)
+
+    singles = []
+    for i in range(B):
+        wb.net.set_triplet_classifier(ems[i], ens[i])
+        singles.append(wb.weighted_subtree_ebp(
+            probes[i:i + 1], 0, 1, topk=3, subtree_mode="all",
+            return_subtree_maps=False))
+
+    wb.set_triplet_classifier_batch(ems, ens)
+    batch = wb.weighted_subtree_ebp_batch(
+        probes, topk=3, subtree_mode="all", return_subtree_maps=False)
+
+    for (s_s, _, sc_s, k_s), (s_b, _, sc_b, k_b) in zip(singles, batch):
+        assert k_s == k_b
+        np.testing.assert_allclose(sc_b, sc_s, rtol=1e-5)
+        np.testing.assert_allclose(s_b, s_s, rtol=1e-4, atol=1e-7)
+
+
 @pytest.mark.parametrize("do_max", [False, True])
 def test_fused_select_merge_matches_host_path(do_max):
     """The fused sweep+selection+merge kernel (used when

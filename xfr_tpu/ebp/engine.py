@@ -44,6 +44,37 @@ def _percentile_mass_mask(mwp, percentile):
     return (flat >= thresh).astype(flat.dtype).reshape(mwp.shape)
 
 
+def _wsebp_select_merge(P_out, maxes, scores, topk, do_max, eps):
+    """Valid-subtree selection + weighted merge of a candidate sweep.
+
+    Reproduces the reference exactly (whitebox.py:706-725): candidates in
+    ascending-score order (stable ties), keep the last ``topk`` with
+    map-max > 0 excluding event 1, min-max-normalize the selected scores
+    (all-ones fallback), normalize each map by its max, merge by weighted
+    sum or max.  Returns (merged [H,W], sel [n_cand] bool)."""
+    n_cand = scores.shape[0]
+    order = jnp.argsort(scores, stable=True)
+    valid = (maxes > 0) & (jnp.arange(n_cand) != 1)
+    v_ord = valid[order]
+    # of the valid candidates, keep the last topk in score order
+    rank_from_end = jnp.cumsum(v_ord[::-1])[::-1]
+    sel_ord = v_ord & (rank_from_end <= topk)
+    sel = jnp.zeros((n_cand,), bool).at[order].set(sel_ord)
+
+    vmin = jnp.min(jnp.where(sel, scores, jnp.inf))
+    vmax = jnp.max(jnp.where(sel, scores, -jnp.inf))
+    norm = (scores - vmin) / (eps + (vmax - vmin))
+    norm = jnp.where(sel, norm, 0.0).astype(jnp.float32)
+    norm = jnp.where(norm.sum() == 0, sel.astype(jnp.float32), norm)
+    mapn = P_out * (1.0 / (P_out.max(axis=(1, 2, 3),
+                                     keepdims=True) + 1e-12))
+    weighted = norm[:, None, None, None] * mapn * \
+        sel[:, None, None, None]
+    merged = (jnp.max(weighted, axis=0) if do_max
+              else jnp.sum(weighted, axis=0))
+    return merged[0], sel
+
+
 class WhiteboxNetwork:
     """A network prepared for whitebox EBP (reference: whitebox.py:25-84).
 
@@ -902,7 +933,6 @@ class Whitebox:
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         sweep_dt = self._wsebp_dtype
-        n_cand = graph.n_events - 1
         mesh = self.mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -923,32 +953,57 @@ class Whitebox:
                 graph, params, values, posvals, elems,
                 vals.astype(x.dtype), subtree_mode=mode, eps=eps,
                 with_bias=wb, n_buckets=n_buckets, row_shard=row_shard)
-
-            order = jnp.argsort(scores, stable=True)
-            valid = (maxes > 0) & (jnp.arange(n_cand) != 1)
-            v_ord = valid[order]
-            # of the valid candidates, keep the last topk in score order
-            rank_from_end = jnp.cumsum(v_ord[::-1])[::-1]
-            sel_ord = v_ord & (rank_from_end <= topk)
-            sel = jnp.zeros((n_cand,), bool).at[order].set(sel_ord)
-
-            vmin = jnp.min(jnp.where(sel, scores, jnp.inf))
-            vmax = jnp.max(jnp.where(sel, scores, -jnp.inf))
-            norm = (scores - vmin) / (eps + (vmax - vmin))
-            norm = jnp.where(sel, norm, 0.0).astype(jnp.float32)
-            norm = jnp.where(norm.sum() == 0, sel.astype(jnp.float32),
-                             norm)
-            mapn = P_out * (1.0 / (P_out.max(axis=(1, 2, 3),
-                                             keepdims=True) + 1e-12))
-            weighted = norm[:, None, None, None] * mapn * \
-                sel[:, None, None, None]
-            merged = (jnp.max(weighted, axis=0) if do_max
-                      else jnp.sum(weighted, axis=0))
-            return merged[0], sel
+            return _wsebp_select_merge(P_out, maxes, scores, topk,
+                                       do_max, eps)
 
         return self._kernel(("wsebp_sweep_select", mode, wb, n_buckets,
                              int(topk), bool(do_max), str(sweep_dt),
                              id(mesh)), lambda: fn)
+
+    def _wsebp_sweep_select_scan_fn(self, topk, do_max, n_buckets=12):
+        """jitted: fused sweep+selection+merge for a whole probe BATCH in
+        one program — one batch-B forward-capture pair shared by a
+        lax.scan over probes whose body is the per-probe bucketed
+        candidate walk on [1]-slices of the captures.
+
+        vs per-probe fused launches this removes B-1 redundant batch-1
+        forward pairs (~30% of each sweep program) and collapses B device
+        programs + B result transfers into one.  Capture slicing happens
+        once per probe per tensor inside the scan — NOT per candidate
+        row, which is the vmapped-gather trap (each vmap lane gathering
+        its own copy of every capture) measured 13x slower; the walk
+        itself stays natively batched over candidate rows."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        sweep_dt = self._wsebp_dtype
+
+        @jax.jit
+        def fn(params, x, elems, vals, scores):
+            # x [B,...]; elems/vals/scores [B, n_cand]
+            params, x = self._prep(params, x, sweep_dt)
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+
+            def body(carry, inp):
+                i, elems_i, vals_i, scores_i = inp
+                sl = lambda v: jax.lax.dynamic_slice_in_dim(v, i, 1, 0)
+                P_out, maxes = I.ebp_backward_allevents(
+                    graph, params, [sl(v) for v in values],
+                    [sl(v) for v in posvals], elems_i,
+                    vals_i.astype(x.dtype), subtree_mode=mode, eps=eps,
+                    with_bias=wb, n_buckets=n_buckets)
+                merged, sel = _wsebp_select_merge(
+                    P_out, maxes, scores_i, topk, do_max, eps)
+                return carry, (merged, sel)
+
+            _, (merged, sel) = jax.lax.scan(
+                body, None,
+                (jnp.arange(x.shape[0]), elems, vals, scores))
+            return merged, sel  # [B,H,W], [B,n_cand]
+
+        return self._kernel(("wsebp_sweep_select_scan", mode, wb, n_buckets,
+                             int(topk), bool(do_max), str(sweep_dt)),
+                            lambda: fn)
 
     def _wsebp_buckets(self, n_buckets=6):
         """Static partition of candidate events 0..n_events-2 into buckets
@@ -1069,10 +1124,20 @@ class Whitebox:
             # sweep inputs are device-sliced ranking outputs: no host
             # round trip between the two stages
             idxs32 = idxs_d.astype(jnp.int32)
-            launches = [self._wsebp_fused_launch(
-                            x[i:i + 1], idxs32[i], vals_d[i],
-                            scores_d[i], topk, do_max_subtree)
-                        for i in range(B)]
+            if self.mesh is None:
+                # single device: ONE scan-batched program sharing a
+                # batch-B forward-capture pair across all probes' sweeps
+                merged_d, sel_d = self._wsebp_sweep_select_scan_fn(
+                    topk, bool(do_max_subtree))(
+                    self.net.params, x_pad, idxs32, vals_d, scores_d)
+                launches = None
+            else:
+                # mesh mode: per-probe sweeps with candidate rows sharded
+                # over 'dp'
+                launches = [self._wsebp_fused_launch(
+                                x[i:i + 1], idxs32[i], vals_d[i],
+                                scores_d[i], topk, do_max_subtree)
+                            for i in range(B)]
         finally:
             self._ebp_subtree_mode = prev_mode
 
@@ -1081,6 +1146,13 @@ class Whitebox:
             self._ebp_subtree_mode = subtree_mode
             try:
                 scores = np.asarray(scores_d, np.float32)
+                if launches is None:
+                    merged = np.asarray(merged_d, np.float32)
+                    sel = np.asarray(sel_d)
+                    return [self._wsebp_fused_finish(
+                                merged[i], sel[i], scores[i], verbose,
+                                do_mwp_to_saliency)
+                            for i in range(B)]
                 return [self._wsebp_fused_finish(
                             sm, sel, scores[i], verbose, do_mwp_to_saliency)
                         for i, (sm, sel) in enumerate(launches)]
