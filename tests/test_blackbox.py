@@ -129,3 +129,20 @@ def test_strise_validation_errors():
         STRise(probe=probe, refs=[probe])  # no black box
     with pytest.raises(ValueError):
         STRise(refs=[probe], black_box_fn=lambda a, b: None)  # no probe
+
+
+def test_apply_masks_using_image():
+    """apply_masks_using_image blends probe<->image under every mask
+    (reference: blackbox.py:338-345)."""
+    probe = np.full((224, 224, 3), 200, np.uint8)
+    st = STRise(probe=probe, refs=[probe],
+                black_box_fn=lambda a, b: np.ones((len(a), len(b))),
+                prior_type="uniform", num_masks=6, mask_scale=16)
+    st.priors[st.prior_type]()
+    st.generate_sparse_masks()
+    fill = np.zeros((224, 224, 3), np.float32)
+    out = st.apply_masks_using_image(fill)
+    assert out.shape == (6, 224, 224, 3)
+    masks = st.masks
+    expect = np.broadcast_to(masks[..., None] * 200.0, out.shape)
+    np.testing.assert_allclose(out, expect, atol=1e-3)

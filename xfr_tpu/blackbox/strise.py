@@ -256,6 +256,13 @@ class STRise:
         blends = m[..., None] * probe + (1.0 - m[..., None]) * self._fill_dev
         return np.asarray(blends)
 
+    def apply_masks_using_image(self, image):
+        """Blend probe<->``image`` under every mask (reference:
+        blackbox.py:338-345) in one device op; the result is also kept as
+        the fill for subsequent scoring."""
+        self._fill_dev = jnp.asarray(image, jnp.float32)
+        return self.masked_probes_np()
+
     @property
     def masked_probes(self):
         return self.masked_probes_np()
