@@ -185,16 +185,27 @@ def test_batched_generation_matches_serial(game_env, tmp_path):
         batch_size=2)
     assert n == 2
 
+    # tail group: 2 jobs at batch_size=3 exercises the duplicate-first-job
+    # padding (one canonical compiled shape); results must be unchanged
+    pad_dir = str(tmp_path / "smaps_padded")
+    os.makedirs(pad_dir, exist_ok=True)
+    n = G.generate_wb_smaps_batched(
+        wb, "toynet", jobs, subtree_mode_weighted="all", ebp_ver=6,
+        overwrite=True, data_dir=game_env["data_dir"], smaps_dir=pad_dir,
+        batch_size=3)
+    assert n == 2
+
     serial_maps = sorted(glob.glob(os.path.join(
         serial_dir, "toynet/subject_ID_1/img/p1/inpainted/*-saliency.npz")))
     serial_maps = [f for f in serial_maps if "bbox-rise" not in f]
     assert len(serial_maps) == 8
     for f in serial_maps:
-        g = f.replace(serial_dir, batch_dir)
-        assert os.path.exists(g), g
         a = np.load(f)["saliency_map"]
-        b = np.load(g)["saliency_map"]
-        # atol 1e-5: the truncated percentile-mass boundary can flip a few
-        # pixels under float cumsum reassociation
-        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-5,
-                                   err_msg=os.path.basename(f))
+        for other in (batch_dir, pad_dir):
+            g = f.replace(serial_dir, other)
+            assert os.path.exists(g), g
+            b = np.load(g)["saliency_map"]
+            # atol 1e-5: the truncated percentile-mass boundary can flip a
+            # few pixels under float cumsum reassociation
+            np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-5,
+                                       err_msg=os.path.basename(g))

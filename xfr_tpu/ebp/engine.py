@@ -277,10 +277,28 @@ class Whitebox:
     def _contrastive_dtype(self):
         return self.contrastive_dtype or self.compute_dtype
 
-    def _kernel(self, key, builder):
+    def _kernel(self, key, builder, precision="high"):
+        """Cache a jitted kernel, calling it under
+        ``jax.default_matmul_precision(precision)``.
+
+        TPU f32 matmuls/convs default to single-pass bf16 multiplies,
+        which makes the contrastive family — a difference of two
+        near-equal MWP distributions — wobble by O(1) with batch shape
+        (measured max|diff| 0.79 between the B=1 and B=8 programs on
+        random weights).  bf16_3x ('high') pins the maps to ~3e-6 across
+        batch shapes and is measured FREE on these HBM-bound backward
+        kernels (130 vs 140 ms for the B=8 contrastive pair).  The
+        encode/embeddings forward opts out (MXU-bound, and plain
+        positive sums are precision-robust)."""
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = builder()
+            built = builder()
+            if precision is None:
+                fn = built
+            else:
+                def fn(*a, _built=built, **k):
+                    with jax.default_matmul_precision(precision):
+                        return _built(*a, **k)
             self._jit_cache[key] = fn
         return fn
 
@@ -1357,7 +1375,7 @@ class Whitebox:
             values = I.forward_clean(graph, params, x)
             return values[self.net.encode_tensor]
 
-        fn = self._kernel(("encode",), lambda: fn)
+        fn = self._kernel(("encode",), lambda: fn, precision=None)
         x = self._as_input(x)
         if self.mesh is not None and x.shape[0] % self._dp == 0:
             x = self._shard_rows(x)

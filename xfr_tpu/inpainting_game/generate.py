@@ -395,8 +395,15 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
 
     for lo in range(0, len(pend), batch_size):
         group = pend[lo:lo + batch_size]
-        x = jnp.concatenate([j["x"] for j in group])
-        B = len(group)
+        # Pad tail groups to the canonical batch size by DUPLICATING the
+        # first job: every launch then reuses ONE compiled shape (a fresh
+        # shape costs a multi-minute remote XLA compile of the sweep
+        # program, vastly more than the discarded duplicate compute).
+        # Duplicate rows produce valid results, so every finish() path is
+        # safe; zip(group, ...) discards the extras.
+        pad = [group[0]] * (batch_size - len(group))
+        x = jnp.concatenate([j["x"] for j in group + pad])
+        Bp = len(group) + len(pad)
 
         # Launch-all-then-drain: every method's device programs are
         # enqueued before any result is fetched, so host work (saliency
@@ -409,26 +416,25 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
         pooled_dev = None
         if any(j["todo"]["meanEBP"] for j in group):
             wb.net.reset_classifier()
-            Pn = jnp.ones((B, wb.net.num_classes()), jnp.float32)
+            Pn = jnp.ones((Bp, wb.net.num_classes()), jnp.float32)
             pooled_dev, _ = wb._ebp_pooled_fn()(wb.net.params, x, Pn)
 
         finish_ct = None
         if any(j["todo"]["contrastive"] for j in group) or \
                 any(j["todo"]["trunc"] for j in group):
             wb.set_triplet_classifier_batch(
-                np.stack([j["em"] / 2500.0 for j in group]),
-                np.stack([j["en"] / 2500.0 for j in group]))
+                np.stack([j["em"] / 2500.0 for j in group + pad]),
+                np.stack([j["en"] / 2500.0 for j in group + pad]))
             finish_ct = wb.launch_contrastive_ebp_batch_both(
                 x, truncate_percent=20)
 
         finish_ws = None
         if any(j["todo"]["weighted-subtree"] for j in group) and \
                 wsebp_max_candidates is None:
-            # batched ranking pass + per-probe static sweeps (one
-            # shape -> one compile per group size)
+            # batched ranking pass + scan-batched static sweeps
             wb.set_triplet_classifier_batch(
-                np.stack([j["em"] for j in group]),
-                np.stack([j["en"] for j in group]))
+                np.stack([j["em"] for j in group + pad]),
+                np.stack([j["en"] for j in group + pad]))
             finish_ws = wb.launch_weighted_subtree_ebp_batch(
                 x, topk=32, subtree_mode=subtree_mode_weighted,
                 verbose=False, **flags)
