@@ -290,6 +290,7 @@ class Whitebox:
         kernels (130 vs 140 ms for the B=8 contrastive pair).  The
         encode/embeddings forward opts out (MXU-bound, and plain
         positive sums are precision-robust)."""
+        key = key + (precision,)
         fn = self._jit_cache.get(key)
         if fn is None:
             built = builder()
@@ -1123,16 +1124,19 @@ class Whitebox:
                                           do_mated_similarity_gating=True,
                                           subtree_mode="norelu",
                                           do_mwp_to_saliency=True):
-        """Enqueue the whole weighted-subtree batch (ranking pass + B fused
-        candidate sweeps, chained on device with NO intermediate host
-        sync) and return a ``finish()`` closure yielding the result list.
+        """Enqueue the whole weighted-subtree batch and return a
+        ``finish()`` closure yielding the result list.  The batched
+        ranking pass runs first; its outputs feed the candidate sweeps as
+        device slices (no host round trip between stages).  On a single
+        device (mesh=None) the sweeps run as ONE scan-batched program
+        sharing a batch-B forward-capture pair; in mesh mode they run as
+        B per-probe programs with candidate rows sharded over 'dp'.
 
         The per-call device sync costs ~60 ms on a high-latency link;
         launching every program before draining any hides it behind the
         device queue (measured 1.04 s -> 0.57 s for the B=8 sweep stage).
         """
         x_pad, B = self._pad_probe_batch(x)
-        x = jnp.asarray(x, jnp.float32)
         prev_mode = self._ebp_subtree_mode
         self._ebp_subtree_mode = subtree_mode
         try:
@@ -1152,6 +1156,7 @@ class Whitebox:
             else:
                 # mesh mode: per-probe sweeps with candidate rows sharded
                 # over 'dp'
+                x = jnp.asarray(x, jnp.float32)
                 launches = [self._wsebp_fused_launch(
                                 x[i:i + 1], idxs32[i], vals_d[i],
                                 scores_d[i], topk, do_max_subtree)
