@@ -295,39 +295,44 @@ class STRise:
 
     def _fused_scorer(self):
         """jitted chunk scorer: masks chunk -> blend -> preprocess ->
-        encode -> similarity vs refs+gallery embeddings.  Cached per
-        instance — rebuilding would retrigger XLA compilation."""
-        if getattr(self, "_fused_scorer_fn", None) is not None:
-            return self._fused_scorer_fn
+        encode -> similarity vs refs+gallery embeddings.  Cached on the
+        underlying Whitebox's kernel cache, so every STRise instance
+        sharing a net (the generation drivers build one STRise per probe
+        over a shared net_dict) reuses ONE traced program instead of
+        re-tracing the full encode graph per map."""
         from xfr_tpu.ebp import interpreter as I
         from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
 
         wb = self.resnet_net
         graph, enc = wb.net.graph, wb.net.encode_tensor
 
-        @jax.jit
-        def score_chunk(params, masks, probe, fill, ref_e, gal_e):
-            blends = (masks[..., None] * probe +
-                      (1.0 - masks[..., None]) * fill)
-            x = preprocess_resnet101_batch(blends)
-            values = I.forward_clean(graph, params, x)
-            e = values[enc].reshape(masks.shape[0], -1)
-            e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-            ref_s = 1.0 - 0.5 * jnp.linalg.norm(
-                e[:, None, :] - ref_e[None], axis=2)
-            gal_s = 1.0 - 0.5 * jnp.linalg.norm(
-                e[:, None, :] - gal_e[None], axis=2)
-            return ref_s, gal_s
+        def build():
+            @jax.jit
+            def score_chunk(params, masks, probe, fill, ref_e, gal_e):
+                blends = (masks[..., None] * probe +
+                          (1.0 - masks[..., None]) * fill)
+                x = preprocess_resnet101_batch(blends)
+                values = I.forward_clean(graph, params, x)
+                e = values[enc].reshape(masks.shape[0], -1)
+                e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+                ref_s = 1.0 - 0.5 * jnp.linalg.norm(
+                    e[:, None, :] - ref_e[None], axis=2)
+                gal_s = 1.0 - 0.5 * jnp.linalg.norm(
+                    e[:, None, :] - gal_e[None], axis=2)
+                return ref_s, gal_s
 
-        self._fused_scorer_fn = score_chunk
-        return score_chunk
+            return score_chunk
+
+        # encode is MXU-bound and sum-robust: keep default precision
+        return wb._kernel(("strise_fused_scorer", enc), build,
+                          precision=None)
 
     def _fused_scorer_pallas(self):
         """Scorer chunk using the Pallas fused upsample+shift+blend+
         preprocess kernel: masked preprocessed probes are produced straight
-        from the tiny grids — the [N,H,W] mask tensor never exists."""
-        if getattr(self, "_fused_scorer_pallas_fn", None) is not None:
-            return self._fused_scorer_pallas_fn
+        from the tiny grids — the [N,H,W] mask tensor never exists.
+        Shared across STRise instances via the net's kernel cache, like
+        _fused_scorer."""
         from xfr_tpu.ebp import interpreter as I
         from xfr_tpu.blackbox.pallas_blend import fused_mask_blend_preprocess
         from xfr_tpu.models.resnet101 import MEAN_RGB
@@ -336,22 +341,26 @@ class STRise:
         graph, enc = wb.net.graph, wb.net.encode_tensor
         scale = self.mask_scale
 
-        @jax.jit
-        def score_chunk(params, grids, shifts, probe, fill, ref_e, gal_e):
-            x = fused_mask_blend_preprocess(
-                grids, shifts, probe, fill,
-                jnp.asarray(MEAN_RGB, jnp.float32), mask_scale=scale)
-            values = I.forward_clean(graph, params, x)
-            e = values[enc].reshape(grids.shape[0], -1)
-            e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-            ref_s = 1.0 - 0.5 * jnp.linalg.norm(
-                e[:, None, :] - ref_e[None], axis=2)
-            gal_s = 1.0 - 0.5 * jnp.linalg.norm(
-                e[:, None, :] - gal_e[None], axis=2)
-            return ref_s, gal_s
+        def build():
+            @jax.jit
+            def score_chunk(params, grids, shifts, probe, fill, ref_e,
+                            gal_e):
+                x = fused_mask_blend_preprocess(
+                    grids, shifts, probe, fill,
+                    jnp.asarray(MEAN_RGB, jnp.float32), mask_scale=scale)
+                values = I.forward_clean(graph, params, x)
+                e = values[enc].reshape(grids.shape[0], -1)
+                e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+                ref_s = 1.0 - 0.5 * jnp.linalg.norm(
+                    e[:, None, :] - ref_e[None], axis=2)
+                gal_s = 1.0 - 0.5 * jnp.linalg.norm(
+                    e[:, None, :] - gal_e[None], axis=2)
+                return ref_s, gal_s
 
-        self._fused_scorer_pallas_fn = score_chunk
-        return score_chunk
+            return score_chunk
+
+        return wb._kernel(("strise_fused_scorer_pallas", enc, scale),
+                          build, precision=None)
 
     def _dp_put(self, a, axis=0):
         """Shard dim ``axis`` of ``a`` over the mesh 'dp' axis (identity
