@@ -146,3 +146,21 @@ def test_apply_masks_using_image():
     masks = st.masks
     expect = np.broadcast_to(masks[..., None] * 200.0, out.shape)
     np.testing.assert_allclose(out, expect, atol=1e-3)
+
+
+def test_fused_scorer_shared_across_instances():
+    """Two STRise instances over a shared net_dict must reuse ONE traced
+    scorer program (generation builds one STRise per probe; a per-instance
+    jit wrapper re-traces the encode graph every map)."""
+    from tests.fixtures import make_toy_wbnet
+
+    wb = make_toy_wbnet(num_classes=4, seed=0)
+    net_dict = {("resnetv6_pytorch", 6): wb}
+    probe = np.zeros((224, 224, 3), np.uint8)
+    probe[0, 0] = 255
+    sts = [STRise(probe=probe, refs=[probe], black_box="resnetv6_pytorch",
+                  net_dict=net_dict, prior_type="uniform", num_masks=4)
+           for _ in range(2)]
+    for st in sts:
+        st.resnet_net = wb
+    assert sts[0]._fused_scorer() is sts[1]._fused_scorer()
