@@ -1,1 +1,1 @@
-from xfr_tpu.models.factory import create_wbnet  # noqa: F401
+from xfr_tpu.models.factory import create_net, create_wbnet  # noqa: F401

@@ -129,3 +129,19 @@ def create_wbnet(net_name, device=None, ebp_version=None,
 
     raise NotImplementedError(
         'create_wbnet does not implement network "%s"' % net_name)
+
+
+def create_net(net_name, ebp_version=6, device=None, net_dict=None):
+    """Cached net factory mirroring the reference's older
+    ``xfr.utils.create_net`` (reference: python/xfr/utils.py:416-491):
+    same Whitebox per (name, ebp_version) when a ``net_dict`` cache is
+    passed.  The reference's vggface2 branch mistakenly loads the
+    resnet101 weights path (utils.py:473-475); here every branch loads its
+    own weights via create_wbnet."""
+    key = (net_name, ebp_version)
+    if net_dict is not None and key in net_dict:
+        return net_dict[key]
+    wb = create_wbnet(net_name, device=device, ebp_version=ebp_version)
+    if net_dict is not None:
+        net_dict[key] = wb
+    return wb
