@@ -300,7 +300,6 @@ class STRise:
         sharing a net (the generation drivers build one STRise per probe
         over a shared net_dict) reuses ONE traced program instead of
         re-tracing the full encode graph per map."""
-        from xfr_tpu.ebp import interpreter as I
         from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
 
         wb = self.resnet_net
@@ -312,14 +311,8 @@ class STRise:
                 blends = (masks[..., None] * probe +
                           (1.0 - masks[..., None]) * fill)
                 x = preprocess_resnet101_batch(blends)
-                values = I.forward_clean(graph, params, x)
-                e = values[enc].reshape(masks.shape[0], -1)
-                e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-                ref_s = 1.0 - 0.5 * jnp.linalg.norm(
-                    e[:, None, :] - ref_e[None], axis=2)
-                gal_s = 1.0 - 0.5 * jnp.linalg.norm(
-                    e[:, None, :] - gal_e[None], axis=2)
-                return ref_s, gal_s
+                return _encode_and_score(graph, enc, params, x,
+                                         ref_e, gal_e)
 
             return score_chunk
 
@@ -333,7 +326,6 @@ class STRise:
         from the tiny grids — the [N,H,W] mask tensor never exists.
         Shared across STRise instances via the net's kernel cache, like
         _fused_scorer."""
-        from xfr_tpu.ebp import interpreter as I
         from xfr_tpu.blackbox.pallas_blend import fused_mask_blend_preprocess
         from xfr_tpu.models.resnet101 import MEAN_RGB
 
@@ -348,14 +340,8 @@ class STRise:
                 x = fused_mask_blend_preprocess(
                     grids, shifts, probe, fill,
                     jnp.asarray(MEAN_RGB, jnp.float32), mask_scale=scale)
-                values = I.forward_clean(graph, params, x)
-                e = values[enc].reshape(grids.shape[0], -1)
-                e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-                ref_s = 1.0 - 0.5 * jnp.linalg.norm(
-                    e[:, None, :] - ref_e[None], axis=2)
-                gal_s = 1.0 - 0.5 * jnp.linalg.norm(
-                    e[:, None, :] - gal_e[None], axis=2)
-                return ref_s, gal_s
+                return _encode_and_score(graph, enc, params, x,
+                                         ref_e, gal_e)
 
             return score_chunk
 
@@ -588,3 +574,16 @@ def _l2_similarity(x, y):
     xn = x / np.linalg.norm(x, axis=1)[:, None]
     yn = y / np.linalg.norm(y, axis=1)[:, None]
     return 1.0 - 0.5 * np.linalg.norm(xn[:, None] - yn[None], axis=2)
+
+
+def _encode_and_score(graph, enc, params, x, ref_e, gal_e):
+    """Shared scorer tail: encode preprocessed blends, L2-normalize, score
+    against both galleries (the on-device _l2_similarity)."""
+    from xfr_tpu.ebp import interpreter as I
+
+    values = I.forward_clean(graph, params, x)
+    e = values[enc].reshape(x.shape[0], -1)
+    e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+    ref_s = 1.0 - 0.5 * jnp.linalg.norm(e[:, None, :] - ref_e[None], axis=2)
+    gal_s = 1.0 - 0.5 * jnp.linalg.norm(e[:, None, :] - gal_e[None], axis=2)
+    return ref_s, gal_s

@@ -401,9 +401,9 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
         # program, vastly more than the discarded duplicate compute).
         # Duplicate rows produce valid results, so every finish() path is
         # safe; zip(group, ...) discards the extras.
-        pad = [group[0]] * (batch_size - len(group))
-        x = jnp.concatenate([j["x"] for j in group + pad])
-        Bp = len(group) + len(pad)
+        padded = group + [group[0]] * (batch_size - len(group))
+        x = jnp.concatenate([j["x"] for j in padded])
+        Bp = len(padded)
 
         # Launch-all-then-drain: every method's device programs are
         # enqueued before any result is fetched, so host work (saliency
@@ -423,8 +423,8 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
         if any(j["todo"]["contrastive"] for j in group) or \
                 any(j["todo"]["trunc"] for j in group):
             wb.set_triplet_classifier_batch(
-                np.stack([j["em"] / 2500.0 for j in group + pad]),
-                np.stack([j["en"] / 2500.0 for j in group + pad]))
+                np.stack([j["em"] / 2500.0 for j in padded]),
+                np.stack([j["en"] / 2500.0 for j in padded]))
             finish_ct = wb.launch_contrastive_ebp_batch_both(
                 x, truncate_percent=20)
 
@@ -433,8 +433,8 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
                 wsebp_max_candidates is None:
             # batched ranking pass + scan-batched static sweeps
             wb.set_triplet_classifier_batch(
-                np.stack([j["em"] for j in group + pad]),
-                np.stack([j["en"] for j in group + pad]))
+                np.stack([j["em"] for j in padded]),
+                np.stack([j["en"] for j in padded]))
             finish_ws = wb.launch_weighted_subtree_ebp_batch(
                 x, topk=32, subtree_mode=subtree_mode_weighted,
                 verbose=False, **flags)
