@@ -79,7 +79,7 @@ def main():
         return s1 + s2 + s3 + s4
 
     mix()  # warmup / compile
-    n_iters = 2
+    n_iters = 4
     t0 = time.time()
     for _ in range(n_iters):
         out = mix()
