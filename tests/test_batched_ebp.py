@@ -69,3 +69,35 @@ def test_fused_both_matches_separate():
                                    rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(both_trunc[i], sep_trunc[i],
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_percentile_mass_mask_matches_sorted_reference():
+    """The bit-bisection threshold equals the sort+cumsum formulation
+    (reference: whitebox.py:550-555) including ties and edge percentiles."""
+    from xfr_tpu.ebp.engine import _percentile_mass_mask
+
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.rand(7, 13).astype(np.float32),
+        np.repeat(rng.rand(40).astype(np.float32), 5).reshape(10, 20),  # ties
+        np.zeros((5, 5), np.float32),
+        rng.exponential(size=(64, 56, 56)).astype(np.float32),
+    ]
+    for arr in cases:
+        for pct in (0.0, 20.0, 80.0, 100.0):
+            got = np.asarray(_percentile_mass_mask(jnp.asarray(arr), pct))
+            # float64 ground truth (the f32 sequential cumsum itself
+            # wobbles by an element at the boundary in dense data)
+            flat = np.sort(arr.reshape(-1).astype(np.float64))
+            csum = np.cumsum(flat)
+            target = pct / 100.0 * csum[-1]
+            thresh = flat[int(np.argmax(csum >= target))]
+            want = (arr.astype(np.float64) >= thresh).astype(np.float32)
+            n_diff = int((got != want).sum())
+            # any disagreement must be confined to boundary-value ties
+            # from f32-vs-f64 summation order
+            assert n_diff <= 2, (pct, n_diff)
+            if n_diff:
+                window = np.abs(arr[got != want] - thresh) / max(thresh,
+                                                                 1e-12)
+                assert window.max() < 1e-4, (pct, window.max())

@@ -30,18 +30,35 @@ def _percentile_mass_mask(mwp, percentile):
 
     The reference sorts ascending, cumsums, and keeps elements whose
     cumulative mass reaches percentile% of the total
-    (reference: whitebox.py:550-555).  Equivalent threshold form: find
-    the value at the cumulative-mass cutoff and keep everything >= it —
-    same result up to exact float ties at the boundary (the reference's
-    torch.sort is itself unstable there), but avoids the 800K-element
-    scatter that dominates the TPU cost of the sorted formulation.
+    (reference: whitebox.py:550-555).  Equivalent threshold form: the
+    cutoff is the smallest element value t with
+    sum(mwp[mwp <= t]) >= percentile% of the total; keep everything
+    >= t.  Same result up to float summation order at the boundary (the
+    reference's torch.sort + sequential cumsum is itself unstable
+    there).
+
+    Found by bisection on the value's BIT pattern (non-negative f32
+    values order like their int32 bits): 31 masked-sum sweeps instead of
+    a full sort — the sort costs ~10 ms/probe on TPU (over half the
+    fused contrastive kernel), the sweeps ~0.5 ms.
     """
-    flat = mwp.reshape(-1)
-    svals = jnp.sort(flat)
-    csum = jnp.cumsum(svals)
-    target = (percentile / 100.0) * csum[-1]
-    thresh = svals[jnp.argmax(csum >= target)]
-    return (flat >= thresh).astype(flat.dtype).reshape(mwp.shape)
+    flat = mwp.reshape(-1).astype(jnp.float32)  # MWP mass is non-negative
+    total = flat.sum()
+    target = (percentile / 100.0) * total
+    bits_hi = jax.lax.bitcast_convert_type(jnp.max(flat), jnp.int32)
+
+    def body(_, lohi):
+        # invariant: mass(value(lo)) < target <= mass(value(hi))
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2  # (lo+hi)//2 overflows int32 bit space
+        v = jax.lax.bitcast_convert_type(jnp.maximum(mid, 0), jnp.float32)
+        mass = jnp.where(flat <= v, flat, 0.0).sum()
+        ok = (mass >= target) & (mid >= 0)
+        return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
+
+    _, hi = jax.lax.fori_loop(0, 32, body, (jnp.int32(-1), bits_hi))
+    thresh = jax.lax.bitcast_convert_type(hi, jnp.float32)
+    return (flat >= thresh).astype(mwp.dtype).reshape(mwp.shape)
 
 
 def _wsebp_select_merge(P_out, maxes, scores, topk, do_max, eps):
