@@ -393,26 +393,28 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
             probe_im=j["probe_im"], probe_info=j["probe_row"],
             mask_im=j["mask_im"], mask_id=j["mask_id"])
 
-    for lo in range(0, len(pend), batch_size):
-        group = pend[lo:lo + batch_size]
-        # Pad tail groups to the canonical batch size by DUPLICATING the
-        # first job: every launch then reuses ONE compiled shape (a fresh
-        # shape costs a multi-minute remote XLA compile of the sweep
-        # program, vastly more than the discarded duplicate compute).
-        # Duplicate rows produce valid results, so every finish() path is
-        # safe; zip(group, ...) discards the extras.
+    flags = _WSEBP_FLAGS.get(ebp_ver,
+                             dict(do_max_subtree=False,
+                                  do_mated_similarity_gating=False))
+
+    def _launch(group):
+        """Enqueue every method's device programs for one job group.
+
+        Launch-all-then-drain: nothing syncs here, so host work and
+        per-sync device-link round trips overlap with the device queue.
+        Classifier swaps between launches are safe: each launch captures
+        the params it was given.
+
+        Tail groups pad to the canonical batch size by DUPLICATING the
+        first job: every launch then reuses ONE compiled shape (a fresh
+        shape costs a multi-minute remote XLA compile of the sweep
+        program, vastly more than the discarded duplicate compute).
+        Duplicate rows produce valid results, so every finish() path is
+        safe; zip(group, ...) discards the extras."""
         padded = group + [group[0]] * (batch_size - len(group))
         x = jnp.concatenate([j["x"] for j in padded])
         Bp = len(padded)
 
-        # Launch-all-then-drain: every method's device programs are
-        # enqueued before any result is fetched, so host work (saliency
-        # post-processing, png/npz writes) and per-sync device-link round
-        # trips overlap with the device queue.  Classifier swaps between
-        # launches are safe: each launch captures the params it was given.
-        flags = _WSEBP_FLAGS.get(ebp_ver,
-                                 dict(do_max_subtree=False,
-                                      do_mated_similarity_gating=False))
         pooled_dev = None
         if any(j["todo"]["meanEBP"] for j in group):
             wb.net.reset_classifier()
@@ -439,20 +441,26 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
                 x, topk=32, subtree_mode=subtree_mode_weighted,
                 verbose=False, **flags)
 
-        if pooled_dev is not None:
-            pooled = np.asarray(pooled_dev, np.float32)
+        return dict(group=group, x=x, pooled_dev=pooled_dev,
+                    finish_ct=finish_ct, finish_ws=finish_ws)
+
+    def _drain(st):
+        """Fetch one group's results and write the png/npz outputs."""
+        group = st["group"]
+        if st["pooled_dev"] is not None:
+            pooled = np.asarray(st["pooled_dev"], np.float32)
             for i, j in enumerate(group):
                 if j["todo"]["meanEBP"]:
                     _write(j, "meanEBP", wb._mwp_to_saliency(pooled[i]))
-        if finish_ct is not None:
-            cons, truncs = finish_ct()
+        if st["finish_ct"] is not None:
+            cons, truncs = st["finish_ct"]()
             for i, j in enumerate(group):
                 if j["todo"]["contrastive"]:
                     _write(j, "contrastive", cons[i])
                 if j["todo"]["trunc"]:
                     _write(j, "trunc", truncs[i])
-        if finish_ws is not None:
-            for j, (smap, _, _, _) in zip(group, finish_ws()):
+        if st["finish_ws"] is not None:
+            for j, (smap, _, _, _) in zip(group, st["finish_ws"]()):
                 if j["todo"]["weighted-subtree"]:
                     _write(j, "weighted-subtree", smap)
 
@@ -465,9 +473,21 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
                     continue
                 wb.net.set_triplet_classifier(j["em"], j["en"])
                 smap, _, _, _ = wb.weighted_subtree_ebp(
-                    x[i:i + 1], 0, 1, topk=32,
+                    st["x"][i:i + 1], 0, 1, topk=32,
                     subtree_mode=subtree_mode_weighted, verbose=False,
                     max_candidates=wsebp_max_candidates,
                     return_subtree_maps=False, **flags)
                 _write(j, "weighted-subtree", smap)
+
+    # Double-buffer groups: group N's host drain (transfers + saliency
+    # post + png/npz writes) runs while group N+1's programs execute on
+    # device, so the device never idles on file IO between groups.
+    prev = None
+    for lo in range(0, len(pend), batch_size):
+        st = _launch(pend[lo:lo + batch_size])
+        if prev is not None:
+            _drain(prev)
+        prev = st
+    if prev is not None:
+        _drain(prev)
     return len(pend)
