@@ -119,6 +119,19 @@ def test_strise_save_gallery(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+def test_strise_save_gallery_empty(tmp_path):
+    """Empty gallery produces an empty montage instead of crashing in
+    plt.subplots (the reference raises on nrows=0)."""
+    probe = np.zeros((224, 224, 3), np.uint8)
+    probe[0, 0] = 255
+    st = STRise(probe=probe, refs=[probe], gallery=[],
+                black_box_fn=lambda a, b: np.ones((len(a), max(1, len(b)))),
+                prior_type="uniform", num_masks=4)
+    out = tmp_path / "gallery_empty.png"
+    st.save_gallery(str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_strise_validation_errors():
     probe = np.zeros((224, 224, 3), np.uint8)
     probe[0, 0] = 255

@@ -497,7 +497,9 @@ class STRise:
         import matplotlib.pyplot as plt
 
         ncols = 10
-        nrows = int(math.ceil(1.0 * self.gallery_size / ncols))
+        # Empty gallery would give nrows=0 and plt.subplots raises (the
+        # reference additionally hits an undefined-i NameError).
+        nrows = max(1, int(math.ceil(1.0 * self.gallery_size / ncols)))
         fig, axes = plt.subplots(ncols=ncols, nrows=nrows, squeeze=False,
                                  figsize=(ncols, nrows))
         if _is_dataframe(self.gallery):
