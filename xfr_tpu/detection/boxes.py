@@ -51,8 +51,12 @@ def bbox_transform_inv(boxes, deltas):
 
     dx = deltas[:, 0::4]
     dy = deltas[:, 1::4]
-    dw = deltas[:, 2::4]
-    dh = deltas[:, 3::4]
+    # Clip dw/dh before exp like py-faster-rcnn's BBOX_XFORM_CLIP
+    # (log(1000/16)): uncalibrated deltas otherwise overflow np.exp to
+    # inf boxes.  Never binds for trained-weight deltas (|dw| ~ O(1)).
+    clip = np.log(1000.0 / 16.0)
+    dw = np.minimum(deltas[:, 2::4], clip)
+    dh = np.minimum(deltas[:, 3::4], clip)
 
     pred_ctr_x = dx * widths[:, None] + ctr_x[:, None]
     pred_ctr_y = dy * heights[:, None] + ctr_y[:, None]

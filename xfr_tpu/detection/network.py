@@ -123,7 +123,8 @@ def build_top(num_classes=2):
     return g_out, g.param_shapes, cls
 
 
-def load_from_torch_state_dicts(bottom_sd, rpn_sd, top_sd):
+def load_from_torch_state_dicts(bottom_sd, rpn_sd, top_sd,
+                                dtype=jnp.float32):
     """Convert state_dicts of the reference's three detector modules.
 
     The reference distributes the detector as whole-module torch pickles
@@ -145,9 +146,10 @@ def load_from_torch_state_dicts(bottom_sd, rpn_sd, top_sd):
     rpn_shapes = {**rpn_shapes, **rpn_bbox_shapes}
     _, top_shapes, _ = build_top()
     return {
-        "trunk": params_from_state_dict(trunk_shapes, bottom_sd),
-        "rpn": params_from_state_dict(rpn_shapes, rpn_sd),
-        "top": params_from_state_dict(top_shapes, top_sd),
+        "trunk": params_from_state_dict(trunk_shapes, bottom_sd,
+                                        dtype=dtype),
+        "rpn": params_from_state_dict(rpn_shapes, rpn_sd, dtype=dtype),
+        "top": params_from_state_dict(top_shapes, top_sd, dtype=dtype),
     }
 
 
@@ -221,6 +223,12 @@ class FasterRCNNNetwork:
         rois = B.proposal_layer(np.asarray(prob), np.asarray(bbox), im_info,
                                 num_anchors=self._num_anchors,
                                 feat_stride=self._feat_stride)
+        if rois.shape[0] == 0:
+            # degenerate case (e.g. every proposal under min_size): empty
+            # detection set instead of a zero-batch top-stage program
+            return (rois, np.zeros((0, 8), np.float32),
+                    np.zeros((0, 2), np.float32),
+                    np.zeros((0, 2), np.float32))
         roi_feats = B.roi_pool(np.asarray(feats), rois, (14, 14), 0.0625)
         bbox_pred, cls_prob, cls_score = self._top()(
             self.params["top"], jnp.asarray(roi_feats))
