@@ -1,22 +1,28 @@
-"""Benchmark: whitebox EBP saliency generation throughput on one TPU chip.
+"""Benchmark: the three stages of the inpainting-game pipeline on one TPU
+chip, each against the reference's published wall-clock for the same
+workload (reference README.md:166: WB generation ~36 h, BB generation
+~18 h, analysis "a couple of hours", all on 1x Titan X).
 
-Measures the inpainting-game standard per-probe method mix on the flagship
-STR-Janus ResNet-101+L2 matcher (the workload behind the reference's
-"~36 hours on 1x Titan X" whitebox stage, reference README.md:166):
+Prints one JSON line per metric; the whitebox line is LAST (the driver
+records the final line).
 
-  per probe: meanEBP + contrastive + truncated-contrastive (pct 20)
-             + weighted-subtree (topk=32, all subtree candidates)
-  = 4 saliency maps (generate_whitebox_saliency.py:316-411).
+Baseline derivations (documented assumptions, ~1.3k filtered probe-mask
+units for the resnetv4 split):
 
-Baseline derivation (documented assumptions): the reference generates 4 maps
-per filtered (probe, mask) unit.  Two independent estimates agree the
-reference spends ~100 s per 4-map mix on a Titan X: (a) the weighted-subtree
-sweep alone is n_events (~379) serial layerwise EBP re-runs, each 3 forwards
-+ 1 backward of ResNet-101 @224 (~65 ms/pass Titan X f32) ~= 95 s; (b) 36 h
-over the ~1.3k filtered probe-mask units of the resnetv4 split.  Baseline
-throughput = 4 maps / 100 s = 0.04 maps/s/GPU.
-
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* Whitebox 4-map eval mix (meanEBP + contrastive + truncated pct-20 +
+  weighted-subtree top-32): two independent estimates agree on ~100 s per
+  mix on a Titan X — (a) the weighted-subtree sweep alone is ~379 serial
+  layerwise EBP re-runs, each 3 forwards + 1 backward of ResNet-101 @224
+  (~65 ms/pass f32) ~= 95 s; (b) 36 h over ~1.3k units.  Baseline
+  = 4 maps / 100 s = 0.04 maps/s.
+* Blackbox STRise map (6,500 masks, mean-EBP prior, blur fill, scale 12,
+  2 elements — generate_blackbox_saliency.py defaults): 18 h over the
+  same ~1.3k units = 49.8 s/map = 0.0201 maps/s.
+* Eval stage: per probe x method, the analysis computes the
+  percent-density threshold sweep (101 blend embeddings + twin
+  classification) plus the IoU curve (plot_inpainting_game.py:1125-1161).
+  "A couple of hours" (2 h) over ~1.3k units x 4 methods = 1.38 s per
+  probe-method eval = 0.72 evals/s.
 """
 
 import json
@@ -24,21 +30,115 @@ import time
 
 import numpy as np
 
-BASELINE_MAPS_PER_SEC = 0.04  # reference Titan X, standard 4-map mix
+BASELINE_WB_MAPS_PER_SEC = 0.04     # Titan X, standard 4-map mix
+BASELINE_BB_MAPS_PER_SEC = 0.0201   # Titan X, 6500-mask STRise map
+BASELINE_EVAL_PER_SEC = 0.72        # Titan X-era, twin-cls + IoU sweep
 
 
-def main():
+def _emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2),
+    }), flush=True)
+
+
+def bench_blackbox(wb, rng, n_maps=3, num_masks=6500):
+    """Sustained BB map rate with the production launch/finish pipeline
+    (map k's host post overlaps map k+1's device scoring queue)."""
+    from xfr_tpu.blackbox import STRise
+
+    probe = (rng.rand(224, 224, 3) * 255).astype(np.uint8)
+    refs = [(rng.rand(224, 224, 3) * 255).astype(np.uint8)
+            for _ in range(2)]
+    gals = [(rng.rand(224, 224, 3) * 255).astype(np.uint8)
+            for _ in range(2)]
+    # one net serves matcher + mean-EBP prior (the CLI's net_dict reuse)
+    net_dict = {("resnetv6_pytorch", 6): wb,
+                ("resnetv4_pytorch", None): wb}
+
+    def launch(seed):
+        st = STRise(probe=probe, refs=refs, gallery=gals,
+                    black_box="resnetv6_pytorch", net_dict=net_dict,
+                    mask_scale=12, num_mask_elements=2,
+                    mask_fill_type="blur", blur_fill_sigma_percent=4,
+                    num_masks=num_masks, seed=seed,
+                    prior_type="mean_ebp")
+        return st.launch_evaluate()
+
+    smap = launch(0)()  # warmup / compile
+    assert np.isfinite(smap).all()
+
+    t0 = time.time()
+    pend = launch(1)
+    for s in range(2, n_maps + 1):
+        fin = launch(s)
+        smap = pend()  # forces the host transfer: honest timing on axon
+        pend = fin
+    smap = pend()
+    dt = (time.time() - t0) / n_maps
+    assert np.isfinite(smap).all()
+    return 1.0 / dt
+
+
+def bench_eval(wb, rng, n_iters=4):
+    """Sustained probe-method eval rate: percent-density threshold sweep
+    (101 blends embedded in one batch + twin classification) + IoU curve,
+    exactly the analysis stage's per-unit work (analysis.py:407-499)."""
+    from xfr_tpu.inpainting_game import protocol as ipg
+
+    percentiles = np.unique(np.sort(np.append(np.arange(0, 100, 1),
+                                              [0, 100])))
+    orig = (rng.rand(3, 224, 224) * 50).astype(np.float32)
+    inp = orig + (rng.rand(3, 224, 224) * 30).astype(np.float32)
+
+    def embed(ims):
+        e = np.asarray(wb.embeddings(np.stack(ims)))
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        m = e.mean(axis=0, keepdims=True)
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    og = embed([orig + rng.rand(3, 224, 224).astype(np.float32)
+                for _ in range(2)])
+    ig = embed([inp + rng.rand(3, 224, 224).astype(np.float32)
+                for _ in range(2)])
+    smap = rng.rand(224, 224).astype(np.float64)
+    smap[60:120, 80:150] += 4.0  # salient region
+    smap /= smap.sum()
+    gt = np.zeros((224, 224), bool)
+    gt[60:120, 80:150] = True
+
+    def one():
+        cls, pg, pr = ipg.classified_as_inpainted_twin(
+            wb, orig, inp, og, ig, smap,
+            mask_threshold_method="percent-density",
+            percentiles=percentiles, seed=7,
+            include_zero_elements=False)
+        iou = ipg.intersect_over_union_thresholded_saliency(
+            smap, gt, "percent-density", percentiles=percentiles,
+            seed=7, include_zero_elements=False)
+        return cls, iou
+
+    cls, iou = one()  # warmup / compile
+    assert len(cls) == len(percentiles) and np.isfinite(iou).all()
+
+    t0 = time.time()
+    for _ in range(n_iters):
+        one()
+    dt = (time.time() - t0) / n_iters
+    return 1.0 / dt
+
+
+def bench_whitebox(wb, rng, n_iters=4):
+    """The inpainting-game standard per-probe 4-map method mix on the
+    flagship STR-Janus ResNet-101+L2 matcher
+    (generate_whitebox_saliency.py:316-411), probe-batched B=8 via the
+    production launch-all-then-drain pipeline."""
     import jax.numpy as jnp
-    from xfr_tpu.models import create_wbnet
 
-    wb = create_wbnet("resnetv6_pytorch")
-    # production default: weighted-subtree sweep in bfloat16
-    # (xfr-generate-wb-saliency --wsebp-dtype bfloat16), everything else
-    # float32
-    wb.wsebp_dtype = jnp.bfloat16
-    rng = np.random.RandomState(0)
-    probe = jnp.asarray(rng.rand(1, 3, 224, 224) * 50, jnp.float32)
-    mates = jnp.asarray(rng.rand(2, 3, 224, 224) * 50, jnp.float32)
+    probe_seed = rng.rand(2, 3, 224, 224) * 50
+    mates = jnp.asarray(probe_seed, jnp.float32)
     nonmates = jnp.asarray(rng.rand(2, 3, 224, 224) * 50, jnp.float32)
 
     # triplet classifier from averaged/normalized encodings
@@ -48,15 +148,10 @@ def main():
     em /= np.linalg.norm(em)
     en /= np.linalg.norm(en)
 
-    # Production generation pipeline: mean/contrastive/truncated batch
-    # across B probe jobs via the interleaved-classifier trick (exactly
-    # equivalent per-probe results — tests/test_batched_ebp.py); the
-    # weighted-subtree sweep (per-probe prior injections over all 378
-    # candidate events, exact reference semantics) runs per probe.
     B = 8
     probes = jnp.asarray(rng.rand(B, 3, 224, 224) * 50, jnp.float32)
-    mates = np.tile(em / 2500.0, (B, 1))
-    nonmates = np.tile(en / 2500.0, (B, 1))
+    mates_b = np.tile(em / 2500.0, (B, 1))
+    nonmates_b = np.tile(en / 2500.0, (B, 1))
 
     def mix():
         # Launch-all-then-drain, mirroring generate_wb_smaps_batched:
@@ -65,7 +160,7 @@ def main():
         wb.net.reset_classifier()
         Pn_mean = jnp.ones((B, wb.net.num_classes()), jnp.float32)
         pooled_dev, _ = wb._ebp_pooled_fn()(wb.net.params, probes, Pn_mean)
-        wb.set_triplet_classifier_batch(mates, nonmates)
+        wb.set_triplet_classifier_batch(mates_b, nonmates_b)
         finish_ct = wb.launch_contrastive_ebp_batch_both(
             probes, truncate_percent=20)
         wb.set_triplet_classifier_batch(np.tile(em, (B, 1)),
@@ -79,22 +174,40 @@ def main():
         return s1 + s2 + s3 + s4
 
     mix()  # warmup / compile
-    n_iters = 4
     t0 = time.time()
     for _ in range(n_iters):
         out = mix()
     dt = (time.time() - t0) / n_iters
     for s in out:
         assert np.isfinite(s).all()
+    return 4.0 * B / dt
 
-    maps_per_sec = 4.0 * B / dt
-    print(json.dumps({
-        "metric": "whitebox EBP saliency maps/sec/chip (4-map eval mix, "
-                  "ResNet-101+L2)",
-        "value": round(maps_per_sec, 4),
-        "unit": "maps/sec/chip",
-        "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 2),
-    }))
+
+def main():
+    import jax.numpy as jnp
+    from xfr_tpu.models import create_wbnet
+
+    wb = create_wbnet("resnetv6_pytorch")
+    # production default: weighted-subtree sweep in bfloat16
+    # (xfr-generate-wb-saliency --wsebp-dtype bfloat16), everything else
+    # float32
+    wb.wsebp_dtype = jnp.bfloat16
+    rng = np.random.RandomState(0)
+
+    bb = bench_blackbox(wb, rng)
+    _emit("blackbox STRise saliency maps/sec/chip (6500 masks, mean-EBP "
+          "prior, blur fill, ResNet-101+L2 fused scorer)",
+          bb, "maps/sec/chip", BASELINE_BB_MAPS_PER_SEC)
+
+    ev = bench_eval(wb, rng)
+    _emit("inpainting-game eval probe-method evals/sec/chip "
+          "(percent-density sweep: 101 blend embeddings + twin-cls + IoU)",
+          ev, "evals/sec/chip", BASELINE_EVAL_PER_SEC)
+
+    wbv = bench_whitebox(wb, rng)
+    _emit("whitebox EBP saliency maps/sec/chip (4-map eval mix, "
+          "ResNet-101+L2)",
+          wbv, "maps/sec/chip", BASELINE_WB_MAPS_PER_SEC)
 
 
 if __name__ == "__main__":

@@ -177,3 +177,57 @@ def test_fused_scorer_shared_across_instances():
     for st in sts:
         st.resnet_net = wb
     assert sts[0]._fused_scorer() is sts[1]._fused_scorer()
+
+
+def test_launch_evaluate_matches_evaluate():
+    """launch_evaluate()/finish() is a pure enqueue/drain split of
+    evaluate(): identical saliency maps and scores, builtin and external
+    matcher paths."""
+    from tests.fixtures import make_toy_wbnet
+
+    probe = np.full((224, 224, 3), 30, np.uint8)
+    probe[32:80, 32:80] = 220
+    gal = np.full((224, 224, 3), 30, np.uint8)
+
+    # builtin fused-scorer path (toy net injected via net_dict)
+    wb = make_toy_wbnet(num_classes=4, seed=0)
+    net_dict = {("resnetv6_pytorch", 6): wb}
+    kwargs = dict(probe=probe, refs=[probe], gallery=[gal],
+                  black_box="resnetv6_pytorch", net_dict=net_dict,
+                  prior_type="uniform", num_masks=64, mask_scale=28,
+                  num_mask_elements=1, mask_fill_type="gray", seed=5)
+    st_a = STRise(**kwargs)
+    st_a.evaluate()
+    st_b = STRise(**kwargs)
+    finish = st_b.launch_evaluate()
+    smap = finish()
+    np.testing.assert_array_equal(st_b.saliency_map, smap)
+    np.testing.assert_allclose(smap, st_a.saliency_map, rtol=1e-6)
+    np.testing.assert_allclose(st_b.mask_scores, st_a.mask_scores,
+                               rtol=1e-6)
+
+    # two launches in flight before either finishes (generation pipeline)
+    st_c = STRise(**kwargs)
+    st_d = STRise(**kwargs)
+    f_c = st_c.launch_evaluate()
+    f_d = st_d.launch_evaluate()
+    np.testing.assert_allclose(f_c(), st_a.saliency_map, rtol=1e-6)
+    np.testing.assert_allclose(f_d(), st_a.saliency_map, rtol=1e-6)
+
+    # external host-matcher path
+    def bb_fn(probes, gallery):
+        p = np.stack([np.asarray(x, np.float64).mean(axis=(0, 1))
+                      for x in probes])
+        g = np.stack([np.asarray(x, np.float64).mean(axis=(0, 1))
+                      for x in gallery])
+        return 1.0 - np.abs(p.mean(1)[:, None] - g.mean(1)[None, :]) / 255.
+
+    kw2 = dict(probe=probe, refs=[probe], gallery=[gal],
+               black_box_fn=bb_fn, prior_type="uniform", num_masks=32,
+               mask_scale=28, num_mask_elements=1,
+               mask_fill_type="gray", seed=7)
+    st_e = STRise(**kw2)
+    st_e.evaluate()
+    st_f = STRise(**kw2)
+    np.testing.assert_allclose(st_f.launch_evaluate()(),
+                               st_e.saliency_map, rtol=1e-6)

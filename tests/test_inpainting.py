@@ -126,3 +126,51 @@ def test_hiding_game_runs():
     assert len(pcts) == len(scores) == 11
     # hiding more of the image monotonically removes mass
     assert scores[0] >= scores[-1]
+
+
+def test_device_blend_path_matches_host():
+    """classified_as_inpainted_twin's device fast path (bit-packed masks,
+    on-device blend+encode via Whitebox.blend_embeddings) is bit-identical
+    to the host float64 blend path: binary-mask blending is a per-pixel
+    select."""
+    import jax.numpy as jnp
+    from tests.fixtures import make_toy_wbnet
+
+    wb = make_toy_wbnet(num_classes=4, seed=1)
+    rng = np.random.RandomState(5)
+    orig = (rng.rand(3, 224, 224) * 50).astype(np.float64)
+    inp = orig + rng.rand(3, 224, 224) * 30
+    smap = rng.rand(224, 224)
+    smap[40:120, 60:160] += 4.0
+    smap /= smap.sum()
+
+    def embed(im):
+        e = np.asarray(wb.embeddings(np.asarray(im, np.float32)[None]))
+        return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+    og, ig = embed(orig), embed(inp)
+
+    class HostOnly:
+        """Shim hiding blend_embeddings -> exercises the host path."""
+
+        def embeddings(self, x, norm=True):
+            return wb.embeddings(x, norm=norm)
+
+    kwargs = dict(original_gal_embed=og, inpaint_gal_embed=ig,
+                  saliency_map=smap,
+                  mask_threshold_method="percent-density",
+                  percentiles=PCT, seed=3, include_zero_elements=False)
+    cls_h, pg_h, pr_h = classified_as_inpainted_twin(
+        HostOnly(), orig, inp, **kwargs)
+    cls_d, pg_d, pr_d = classified_as_inpainted_twin(
+        wb, orig, inp, **kwargs)
+    np.testing.assert_array_equal(cls_d, cls_h)
+    np.testing.assert_array_equal(pg_d, pg_h)
+    np.testing.assert_array_equal(pr_d, pr_h)
+
+    # blurred (soft) masks must keep taking the host path
+    cls_b, _, _ = classified_as_inpainted_twin(
+        wb, orig, inp, original_gal_embed=og, inpaint_gal_embed=ig,
+        saliency_map=smap, mask_threshold_method="percent-density",
+        percentiles=PCT, seed=3, mask_blur_sigma=2.0)
+    assert not cls_b[0]

@@ -366,6 +366,16 @@ class STRise:
         return jax.device_put(a, NamedSharding(self.mesh, PartitionSpec()))
 
     def score_masks(self):
+        self._score_masks_launch()()
+
+    def _score_masks_launch(self):
+        """Enqueue the mask-scoring device programs without syncing.
+
+        Returns a drain closure that fetches the chunk scores and sets
+        ``mask_scores``.  The builtin-matcher path keeps every chunk on
+        device at launch time, so a second probe's setup/writes can
+        overlap this probe's scoring; the external-matcher path is
+        host-bound and runs entirely in the drain."""
         builtin = self.black_box in self.black_boxes if self.black_box \
             else False
 
@@ -421,23 +431,31 @@ class STRise:
                 # keep on device: dispatches pipeline asynchronously
                 ref_chunks.append(rs)
                 gal_chunks.append(gs)
-            self.masked_probe_ref_scores = np.asarray(
-                jnp.concatenate(ref_chunks))[:n]
-            self.masked_probe_gallery_scores = np.asarray(
-                jnp.concatenate(gal_chunks))[:n]
-        else:
+
+            def drain():
+                self.masked_probe_ref_scores = np.asarray(
+                    jnp.concatenate(ref_chunks))[:n]
+                self.masked_probe_gallery_scores = np.asarray(
+                    jnp.concatenate(gal_chunks))[:n]
+                self.mask_scores = self.triplet_scoring_fn()
+
+            return drain
+
+        def drain():
             # external score-only matcher: host round-trip in chunks
             self.original_probe_ref_scores = self.black_box_fn(
                 [self.probe], self.refs)
-            if getattr(self, "original_probe_gallery_scores", None) is None:
+            if getattr(self, "original_probe_gallery_scores",
+                       None) is None:
                 self.original_probe_gallery_scores = self.black_box_fn(
                     [self.probe], self.gallery)
             mp = self.masked_probes_np()
             self.masked_probe_ref_scores = self.black_box_fn(mp, self.refs)
             self.masked_probe_gallery_scores = self.black_box_fn(
                 mp, self.gallery)
+            self.mask_scores = self.triplet_scoring_fn()
 
-        self.mask_scores = self.triplet_scoring_fn()
+        return drain
 
     def contrastive_triplet_similarity(self):
         """cts = mean((origRef - maskRef) - (origGal - maskGal))
@@ -550,6 +568,31 @@ class STRise:
         print_flush("5/{} Computing saliency map...".format(steps))
         self.compute_saliency_map()
         print_flush("Finished!")
+
+    def launch_evaluate(self, verbose=False):
+        """evaluate() split for cross-probe pipelining: prior, masks,
+        fill and all scoring programs ENQUEUE here (no sync on the mask
+        scores); the returned finish() closure drains the scores,
+        computes the saliency map and returns it.
+
+        Launch probe k+1 before finishing probe k and probe k's host
+        post-processing/writes overlap probe k+1's device queue — the
+        reference's evaluate() is strictly serial per probe
+        (reference: blackbox.py:450-479).  Results are identical to
+        evaluate(): the split point is a pure enqueue/drain boundary."""
+        if verbose:
+            print_flush("launch: prior/masks/fill/scoring enqueue...")
+        self.priors[self.prior_type]()
+        self.generate_masks()
+        self.apply_masks()
+        drain = self._score_masks_launch()
+
+        def finish():
+            drain()
+            self.compute_saliency_map()
+            return self.saliency_map
+
+        return finish
 
 
 def _is_dataframe(x):

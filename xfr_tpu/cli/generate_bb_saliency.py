@@ -55,7 +55,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from xfr_tpu.models import create_wbnet
-    from xfr_tpu.inpainting_game.generate import generate_bb_smaps
+    from xfr_tpu.inpainting_game.generate import (BBPipeline,
+                                                  generate_bb_smaps)
     from xfr_tpu.parallel.mesh import auto_mesh
 
     mesh = auto_mesh() if args.mesh == "auto" else None
@@ -73,6 +74,9 @@ def main(argv=None):
     wbnets = {}
     net_dict = {}
     failures = []
+    # one pipeline across all jobs: job k's writes overlap job k+1's
+    # device scoring queue
+    pipeline = BBPipeline()
     for job in jobs:
         if job["net"] not in wbnets:
             wbnets[job["net"]] = create_wbnet(job["net"], ebp_version=6)
@@ -89,10 +93,16 @@ def main(argv=None):
                 ebp_ver=6, overwrite=args.overwrite,
                 rise_scale=args.rise_scale, num_masks=args.num_masks,
                 prior_type=args.prior_type, data_dir=data_dir,
-                smaps_dir=args.saliency_dir, mesh=mesh)
+                smaps_dir=args.saliency_dir, mesh=mesh,
+                pipeline=pipeline)
         except Exception as e:
             print("Job failed: %r (%s)" % (job, e))
             failures.append((job, repr(e)))
+    try:
+        pipeline.drain()
+    except Exception as e:
+        print("Final drain failed: %s" % e)
+        failures.append(("<drain>", repr(e)))
     if failures:
         print("\n%d failed jobs:" % len(failures))
         for f in failures:

@@ -1175,6 +1175,63 @@ class Whitebox:
                              int(topk), bool(do_max), str(sweep_dt)),
                             lambda: fn)
 
+    def _wsebp_sweep_select_shmap_fn(self, topk, do_max, n_buckets=12):
+        """jitted: the scan-batched fused sweep with PROBES sharded over
+        the mesh 'dp' axis via shard_map — the mesh analog of
+        _wsebp_sweep_select_scan_fn.
+
+        Each device runs the proven local recipe on its probe shard: one
+        local-batch forward-capture pair + a lax.scan over local probes
+        whose body is the bucketed candidate walk on [1]-slices of the
+        local captures.  Probe sweeps are self-contained, so there are NO
+        collectives — shard_map just pins the decomposition.  This keeps
+        the single-chip scan-batching win under the mesh, unlike the
+        rows-over-'dp' per-probe launches (which replicate every forward
+        pair across devices and shard each sweep to n_cand/n_dev-row
+        slivers); measured 2.6x faster at B=8 on the 8-device CPU mesh
+        (see dryrun_multichip output)."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        sweep_dt = self._wsebp_dtype
+        mesh = self.mesh
+        from jax.sharding import PartitionSpec as Pspec
+
+        def local(params, x, elems, vals, scores):
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values,
+                                         with_bias=wb)
+
+            def body(carry, inp):
+                i, elems_i, vals_i, scores_i = inp
+                sl = lambda v: jax.lax.dynamic_slice_in_dim(v, i, 1, 0)
+                P_out, maxes = I.ebp_backward_allevents(
+                    graph, params, [sl(v) for v in values],
+                    [sl(v) for v in posvals], elems_i,
+                    vals_i.astype(x.dtype), subtree_mode=mode, eps=eps,
+                    with_bias=wb, n_buckets=n_buckets)
+                merged, sel = _wsebp_select_merge(
+                    P_out, maxes, scores_i, topk, do_max, eps)
+                return carry, (merged, sel)
+
+            _, (merged, sel) = jax.lax.scan(
+                body, None,
+                (jnp.arange(x.shape[0]), elems, vals, scores))
+            return merged, sel
+
+        @jax.jit
+        def fn(params, x, elems, vals, scores):
+            params, x = self._prep(params, x, sweep_dt)
+            dp = Pspec("dp")
+            lp = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(Pspec(), dp, dp, dp, dp),
+                out_specs=(dp, dp))
+            return lp(params, x, elems, vals.astype(x.dtype), scores)
+
+        return self._kernel(("wsebp_sweep_select_shmap", mode, wb,
+                             n_buckets, int(topk), bool(do_max),
+                             str(sweep_dt), id(mesh)), lambda: fn)
+
     def _wsebp_buckets(self, n_buckets=6):
         """Static partition of candidate events 0..n_events-2 into buckets
         by fire node, each with its truncation start_node (= max node in
@@ -1580,6 +1637,66 @@ class Whitebox:
             flat = embeds.reshape(embeds.shape[0], -1)
             embeds = (flat / np.linalg.norm(flat, axis=1, keepdims=True)
                       ).reshape(embeds.shape)
+        return embeds
+
+    def _blend_encode_fn(self):
+        """jitted: unpack bit-packed threshold masks, blend probe->twin on
+        device, encode — the inpainting-game eval hot loop
+        (reference: inpainting_game.py:105-134) without shipping T blended
+        images over the device link."""
+        graph, enc = self.net.graph, self.net.encode_tensor
+
+        @jax.jit
+        def fn(params, orig, inp, bits):
+            # bits: [n, ceil(H*W/8)] uint8, np.packbits bit order (MSB
+            # first)
+            H, W = orig.shape[-2], orig.shape[-1]
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            m = (bits[:, :, None] >> shifts) & jnp.uint8(1)
+            m = m.reshape(bits.shape[0], -1)[:, :H * W]
+            m = m.astype(orig.dtype).reshape(bits.shape[0], 1, H, W)
+            blends = (1.0 - m) * orig[None] + m * inp[None]
+            e = I.forward_clean(graph, params, blends)[enc]
+            return e.reshape(e.shape[0], -1)
+
+        return self._kernel(("blend_encode",), lambda: fn, precision=None)
+
+    def blend_embeddings(self, orig_imT, inpaint_imT, masks, norm=True):
+        """Threshold-mask blend + encode entirely on device.
+
+        ``masks``: [T,H,W] boolean.  Uploads the two images plus
+        bit-packed masks (T*H*W/8 bytes, ~0.6 MB for the standard
+        101-threshold sweep) instead of T blended images (~60 MB), and
+        fuses unpack+blend+encode in one program per padded chunk — the
+        host-blend path costs ~2 s of float64 numpy plus a multi-second
+        transfer per probe-method on a ~30 MB/s device link.
+
+        Binary-mask blending is a per-pixel SELECT, so float32 device
+        blends equal the reference's float64 host blends cast to float32
+        bit-for-bit (each output pixel is exactly orig or inp)."""
+        masks = np.asarray(masks)
+        assert masks.dtype == bool and masks.ndim == 3, (
+            "blend_embeddings needs [T,H,W] boolean masks")
+        T = masks.shape[0]
+        bits = np.packbits(masks.reshape(T, -1), axis=1)
+        bs = self.batch_size
+        pad = (-T) % bs
+        if pad:  # padded rows: all-zero mask -> blend == orig, discarded
+            bits = np.concatenate(
+                [bits, np.zeros((pad, bits.shape[1]), np.uint8)])
+        orig = jnp.asarray(np.asarray(orig_imT, np.float32))
+        inp = jnp.asarray(np.asarray(inpaint_imT, np.float32))
+        fn = self._blend_encode_fn()
+        bits_j = jnp.asarray(bits)
+        chunks = []
+        for i in range(0, T + pad, bs):
+            b = bits_j[i:i + bs]
+            if self.mesh is not None and bs % self._dp == 0:
+                b = self._shard_rows(b)
+            chunks.append(fn(self.net.params, orig, inp, b))
+        embeds = np.asarray(jnp.concatenate(chunks))[:T]
+        if norm:
+            embeds = embeds / np.linalg.norm(embeds, axis=1, keepdims=True)
         return embeds
 
     def convert_from_numpy(self, img):

@@ -248,7 +248,7 @@ def create_bbox(blackbox_fn, probe_im, mates, nonmates, rise_scale,
                 prior_type="mean_ebp", mesh=None):
     """STRise closure for one probe (reference:
     generate_blackbox_saliency.py:48-73)."""
-    def bbox():
+    def build():
         from xfr_tpu.blackbox import STRise
 
         kwargs = dict(
@@ -262,23 +262,55 @@ def create_bbox(blackbox_fn, probe_im, mates, nonmates, rise_scale,
         if isinstance(blackbox_fn, str):
             # builtin matcher name: the fused on-device scorer (embeds each
             # masked probe once for both galleries)
-            strise = STRise(black_box=blackbox_fn, **kwargs)
+            return STRise(black_box=blackbox_fn, **kwargs)
         elif isinstance(blackbox_fn, tuple):
             name, net_dict = blackbox_fn
-            strise = STRise(black_box=name, net_dict=net_dict, **kwargs)
-        else:
-            strise = STRise(black_box_fn=blackbox_fn, **kwargs)
+            return STRise(black_box=name, net_dict=net_dict, **kwargs)
+        return STRise(black_box_fn=blackbox_fn, **kwargs)
+
+    def bbox():
+        strise = build()
         strise.evaluate()
         return strise.saliency_map
+
+    bbox.launch = lambda: build().launch_evaluate()
     return bbox
+
+
+class BBPipeline:
+    """Cross-job double-buffer for blackbox generation.
+
+    Holds at most one pending finish+write closure: pushing job k+1's
+    writer first LAUNCHES k+1's device programs, then drains job k — so
+    job k's score transfers, saliency post-processing and png/npz writes
+    overlap job k+1's device queue.  A single generate_bb_smaps call uses
+    a local instance; the CLI driver threads one instance through all its
+    jobs to pipeline across (subject, mask, image) boundaries."""
+
+    def __init__(self):
+        self._pend = None
+
+    def push(self, writer):
+        prev, self._pend = self._pend, writer
+        if prev is not None:
+            prev()
+
+    def drain(self):
+        if self._pend is not None:
+            p, self._pend = self._pend, None
+            p()
 
 
 def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
                       subj_id, mask_id, ebp_ver, overwrite, device=None,
                       rise_scale=12, num_masks=6500, data_dir=None,
-                      smaps_dir=None, prior_type="mean_ebp", mesh=None):
+                      smaps_dir=None, prior_type="mean_ebp", mesh=None,
+                      pipeline=None):
     """Generate the blackbox RISE map for one (net, subject, image, mask)
-    (reference: generate_blackbox_saliency.py:76-227)."""
+    (reference: generate_blackbox_saliency.py:76-227).
+
+    ``pipeline``: optional BBPipeline shared across calls; when omitted a
+    local one is created and fully drained before returning."""
     subject_id = subj_id
     data_dir = data_dir or xfr_tpu.inpaintgame2_dir
     smaps_dir = smaps_dir or xfr_tpu.inpaintgame_saliencymaps_dir
@@ -291,6 +323,19 @@ def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
     probe_data, probes, probe_masks, mates, nonmates = _load_triplet(
         net_name, subject_id, mask_id, img_base, data_dir=data_dir)
 
+    # Double-buffered probe pipeline: probe k+1's STRise launches (prior,
+    # mask sampling, and all fused scoring chunks enqueue on device)
+    # BEFORE probe k's results are drained, so probe k's host
+    # post-processing + png/npz writes overlap probe k+1's device queue.
+    # The WB path gained the same structure in round 2
+    # (generate_wb_smaps_batched); the reference runs strictly serially
+    # (generate_blackbox_saliency.py:76-227).
+    local = pipeline is None
+    if local:
+        pipeline = BBPipeline()
+
+    mask_fill_type = "blur"
+    blur_sigma_percent = 4
     for (probe_im, probe_fn), probe_mask_fn, (_, probe_row) in zip(
             image_loader(probes, returnFileName=True), probe_masks,
             probe_data.iterrows()):
@@ -300,27 +345,38 @@ def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
         os.makedirs(output_dir, exist_ok=True)
         mask_im = next(iter(image_loader([probe_mask_fn])))
 
-        mask_fill_type = "blur"
-        blur_sigma_percent = 4
         for num_mask_elements in [2]:
-            t0 = time.time()
             fn = "bbox-rise-%delem_%s=%d_scale_%s" % (
                 num_mask_elements, mask_fill_type, blur_sigma_percent,
                 rise_scale)
-            create_save_smap(
-                fn, output_dir, overwrite,
-                smap_fn=create_bbox(
-                    blackbox_fn=bb_score_fn, probe_im=probe_im,
-                    mates=mates, nonmates=nonmates, rise_scale=rise_scale,
-                    num_mask_elements=num_mask_elements,
-                    mask_fill_type=mask_fill_type,
-                    blur_sigma_percent=blur_sigma_percent,
-                    num_masks=num_masks, prior_type=prior_type,
-                    mesh=mesh),
-                probe_im=probe_im, mask_im=mask_im, mask_id=mask_id,
-                probe_info=probe_row)
-            dt = time.time() - t0
-            print("Time: %dm %fs" % (int(dt // 60), dt % 60))
+            if not overwrite and os.path.exists(
+                    "%s/%s-%s-saliency-overlay.png"
+                    % (output_dir, mask_id, fn)) and os.path.exists(
+                    "%s/%s-%s-saliency.npz" % (output_dir, mask_id, fn)):
+                continue  # same skip create_save_smap would take
+            t0 = time.time()
+            finish = create_bbox(
+                blackbox_fn=bb_score_fn, probe_im=probe_im,
+                mates=mates, nonmates=nonmates, rise_scale=rise_scale,
+                num_mask_elements=num_mask_elements,
+                mask_fill_type=mask_fill_type,
+                blur_sigma_percent=blur_sigma_percent,
+                num_masks=num_masks, prior_type=prior_type,
+                mesh=mesh).launch()
+
+            def _write(finish=finish, fn=fn, output_dir=output_dir,
+                       probe_im=probe_im, mask_im=mask_im,
+                       probe_row=probe_row, t0=t0):
+                create_save_smap(
+                    fn, output_dir, overwrite, smap_fn=finish,
+                    probe_im=probe_im, mask_im=mask_im, mask_id=mask_id,
+                    probe_info=probe_row)
+                dt = time.time() - t0
+                print("Time: %dm %fs" % (int(dt // 60), dt % 60))
+
+            pipeline.push(_write)
+    if local:
+        pipeline.drain()
 
 
 def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,

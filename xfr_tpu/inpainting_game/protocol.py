@@ -83,6 +83,27 @@ def classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
         include_zero_elements=include_zero_elements,
         blur_sigma=mask_blur_sigma)
 
+    if (masks.dtype == bool and original_imT.ndim == 3
+            and original_imT.shape[0] in (1, 3)
+            and hasattr(snet, "blend_embeddings")
+            and not return_transitions):
+        # Device fast path: bit-packed masks + on-device blend+encode
+        # (~0.6 MB uploaded instead of ~60 MB of blended images).  Binary
+        # masks make the blend a per-pixel select, so embeddings are
+        # bit-identical to the host float64 blend path below.
+        blend_embeds = snet.blend_embeddings(
+            original_imT, inpaint_imT, masks, norm=True)
+        # same double-normalization sequence as the host path below (the
+        # second divide is a float32 near-no-op but keeps paths identical)
+        blend_embeds = blend_embeds / np.linalg.norm(
+            blend_embeds, axis=1, keepdims=True)
+        pr_dist = np.linalg.norm(blend_embeds - original_gal_embed, axis=1)
+        pg_dist = np.linalg.norm(blend_embeds - inpaint_gal_embed, axis=1)
+        classified_as_twin = pg_dist < pr_dist
+        assert not classified_as_twin[0], (
+            "mask-0 blend (pure original) already classifies as the twin")
+        return classified_as_twin, pg_dist, pr_dist
+
     if original_imT.shape[0] == 1 or original_imT.shape[-1] != 3:
         rgb_masks = masks[:, np.newaxis, ...]  # CHW (1 or C broadcast)
     elif original_imT.shape[0] == 3 or original_imT.shape[-1] != 3:
