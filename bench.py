@@ -153,10 +153,11 @@ def bench_whitebox(wb, rng, n_iters=4):
     mates_b = np.tile(em / 2500.0, (B, 1))
     nonmates_b = np.tile(en / 2500.0, (B, 1))
 
-    def mix():
+    def launch_mix():
         # Launch-all-then-drain, mirroring generate_wb_smaps_batched:
-        # every method's device programs enqueue before any sync, so host
-        # post-processing overlaps the device queue.
+        # every method's device programs enqueue before any sync.
+        # Classifier swaps between launches are safe: each launch
+        # captures the params it was given.
         wb.net.reset_classifier()
         Pn_mean = jnp.ones((B, wb.net.num_classes()), jnp.float32)
         pooled_dev, _ = wb._ebp_pooled_fn()(wb.net.params, probes, Pn_mean)
@@ -167,16 +168,27 @@ def bench_whitebox(wb, rng, n_iters=4):
                                         np.tile(en, (B, 1)))
         finish_ws = wb.launch_weighted_subtree_ebp_batch(
             probes, topk=32, subtree_mode="norelu")
+        return pooled_dev, finish_ct, finish_ws
+
+    def drain(st):
+        pooled_dev, finish_ct, finish_ws = st
         pooled = np.asarray(pooled_dev, np.float32)
         s1 = [wb._mwp_to_saliency(pooled[i]) for i in range(B)]
         s2, s3 = finish_ct()
         s4 = [r[0] for r in finish_ws()]
         return s1 + s2 + s3 + s4
 
-    mix()  # warmup / compile
+    drain(launch_mix())  # warmup / compile
+    # Double-buffered groups exactly like the generation pipeline
+    # (generate_wb_smaps_batched): group i's host drain (transfers +
+    # saliency post) overlaps group i+1's device queue.
     t0 = time.time()
-    for _ in range(n_iters):
-        out = mix()
+    prev = launch_mix()
+    for _ in range(n_iters - 1):
+        st = launch_mix()
+        out = drain(prev)
+        prev = st
+    out = drain(prev)
     dt = (time.time() - t0) / n_iters
     for s in out:
         assert np.isfinite(s).all()

@@ -159,3 +159,29 @@ def test_fused_select_merge_fewer_than_topk():
         return_subtree_maps=False)
     assert fused[3] == host[3]
     np.testing.assert_allclose(fused[0], host[0], rtol=1e-4, atol=1e-7)
+
+
+def test_fully_batched_sweep_matches_scan():
+    """The probe-batched walk (one [rows, B, ...] batch per op, no scan)
+    equals the scan-batched path exactly."""
+    wb = make_toy_wbnet(num_classes=4, seed=5, subtree_mode="all")
+    rng = np.random.RandomState(17)
+    B = 3
+    probes = jnp.asarray(rng.rand(B, 3, 224, 224), jnp.float32)
+    ems = rng.rand(B, 12).astype(np.float32)
+    ens = rng.rand(B, 12).astype(np.float32)
+    ems /= np.linalg.norm(ems, axis=1, keepdims=True)
+    ens /= np.linalg.norm(ens, axis=1, keepdims=True)
+    wb.set_triplet_classifier_batch(ems, ens)
+
+    scores_d, idxs_d, vals_d = wb._wsebp_grad_batch_fn()(
+        wb.net.params, probes, gating=True)
+    idxs32 = idxs_d.astype(jnp.int32)
+
+    m_scan, s_scan = wb._wsebp_sweep_select_scan_fn(3, False)(
+        wb.net.params, probes, idxs32, vals_d, scores_d)
+    m_bat, s_bat = wb._wsebp_sweep_select_batch_fn(3, False)(
+        wb.net.params, probes, idxs32, vals_d, scores_d)
+    np.testing.assert_array_equal(np.asarray(s_bat), np.asarray(s_scan))
+    np.testing.assert_allclose(np.asarray(m_bat), np.asarray(m_scan),
+                               rtol=1e-5, atol=1e-7)

@@ -200,6 +200,9 @@ class Whitebox:
         self.compute_dtype = compute_dtype or jnp.float32
         self.wsebp_dtype = wsebp_dtype
         self.contrastive_dtype = contrastive_dtype
+        # probes per scan step in the batched sweep: each step's walk ops
+        # carry a [rows, chunk, ...] batch (see _wsebp_sweep_select_scan_fn)
+        self.wsebp_probe_chunk = 1
         self.eps = float(eps)
         self.ebp_ver = 6 if ebp_version is None else ebp_version
         if self.ebp_ver < 4:
@@ -1130,19 +1133,92 @@ class Whitebox:
                              int(topk), bool(do_max), str(sweep_dt),
                              id(mesh)), lambda: fn)
 
-    def _wsebp_sweep_select_scan_fn(self, topk, do_max, n_buckets=12):
+    def _wsebp_sweep_select_scan_fn(self, topk, do_max, n_buckets=12,
+                                    probe_chunk=None):
         """jitted: fused sweep+selection+merge for a whole probe BATCH in
         one program — one batch-B forward-capture pair shared by a
-        lax.scan over probes whose body is the per-probe bucketed
-        candidate walk on [1]-slices of the captures.
+        lax.scan over probe CHUNKS whose body is the probe-batched
+        bucketed candidate walk on chunk-slices of the captures.
 
         vs per-probe fused launches this removes B-1 redundant batch-1
         forward pairs (~30% of each sweep program) and collapses B device
         programs + B result transfers into one.  Capture slicing happens
-        once per probe per tensor inside the scan — NOT per candidate
+        once per chunk per tensor inside the scan — NOT per candidate
         row, which is the vmapped-gather trap (each vmap lane gathering
         its own copy of every capture) measured 13x slower; the walk
-        itself stays natively batched over candidate rows."""
+        itself stays natively batched over candidate rows x chunk probes.
+
+        ``probe_chunk`` > 1 multiplies every walk op's batch by the chunk
+        (the per-probe scan ran at 3% MXU / 14% HBM — per-op overhead
+        bound, tools/_wsebp_roofline.py); the fully-batched chunk=8 walk
+        OOMs at ~18 GB on v5e, chunk 2-4 fits.  Requires B %% chunk == 0
+        (the production batch is padded to batch_size)."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        sweep_dt = self._wsebp_dtype
+        chunk = int(probe_chunk or self.wsebp_probe_chunk)
+
+        @jax.jit
+        def fn(params, x, elems, vals, scores):
+            # x [B,...]; elems/vals/scores [B, n_cand]
+            params, x = self._prep(params, x, sweep_dt)
+            B = x.shape[0]
+            C = chunk if B % chunk == 0 else 1
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+
+            def body(carry, inp):
+                i, elems_i, vals_i, scores_i = inp  # [C, n_cand] each
+                sl = lambda v: jax.lax.dynamic_slice_in_dim(v, i * C, C, 0)
+                if C == 1:
+                    P_out, maxes = I.ebp_backward_allevents(
+                        graph, params, [sl(v) for v in values],
+                        [sl(v) for v in posvals], elems_i[0],
+                        vals_i[0].astype(x.dtype), subtree_mode=mode,
+                        eps=eps, with_bias=wb, n_buckets=n_buckets)
+                    merged, sel = _wsebp_select_merge(
+                        P_out, maxes, scores_i[0], topk, do_max, eps)
+                    return carry, (merged[None], sel[None])
+                P_out, maxes = I.ebp_backward_allevents(
+                    graph, params, [sl(v) for v in values],
+                    [sl(v) for v in posvals], elems_i.T,
+                    vals_i.T.astype(x.dtype), subtree_mode=mode, eps=eps,
+                    with_bias=wb, n_buckets=n_buckets)
+
+                def one(Pb, mb, sb):
+                    return _wsebp_select_merge(Pb[:, None], mb, sb, topk,
+                                               do_max, eps)
+
+                merged, sel = jax.vmap(one, in_axes=(1, 1, 0))(
+                    P_out, maxes, scores_i)
+                return carry, (merged, sel)
+
+            nsteps = B // C
+            _, (merged, sel) = jax.lax.scan(
+                body, None,
+                (jnp.arange(nsteps),
+                 elems.reshape(nsteps, C, -1),
+                 vals.reshape(nsteps, C, -1),
+                 scores.reshape(nsteps, C, -1)))
+            return (merged.reshape(B, *merged.shape[2:]),
+                    sel.reshape(B, *sel.shape[2:]))  # [B,H,W], [B,n_cand]
+
+        return self._kernel(("wsebp_sweep_select_scan", mode, wb, n_buckets,
+                             int(topk), bool(do_max), str(sweep_dt), chunk),
+                            lambda: fn)
+
+    def _wsebp_sweep_select_batch_fn(self, topk, do_max, n_buckets=12):
+        """jitted: fused sweep+selection+merge for a whole probe BATCH as
+        ONE probe-batched walk — no scan: every op carries a
+        [rows, B, ...] batch.
+
+        The scan path ran at 5.5 TFLOP/s / 112 GB/s (3% MXU, 14% HBM —
+        tools/_wsebp_roofline.py): its per-probe steps issue 378 small
+        ops x B whose fixed per-op cost dominates, while the same conv
+        dgrads reach ~95 TFLOP/s at batch 32 in isolation
+        (tools/_nhwc_microbench.py).  Folding the probe axis into the
+        walk batch multiplies every op's work by B at the same op count.
+        """
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         sweep_dt = self._wsebp_dtype
@@ -1153,27 +1229,20 @@ class Whitebox:
             params, x = self._prep(params, x, sweep_dt)
             values = I.forward_clean(graph, params, x)
             posvals = I.forward_positive(graph, params, values, with_bias=wb)
+            P_out, maxes = I.ebp_backward_allevents(
+                graph, params, values, posvals, elems.T,
+                vals.T.astype(x.dtype), subtree_mode=mode, eps=eps,
+                with_bias=wb, n_buckets=n_buckets)
 
-            def body(carry, inp):
-                i, elems_i, vals_i, scores_i = inp
-                sl = lambda v: jax.lax.dynamic_slice_in_dim(v, i, 1, 0)
-                P_out, maxes = I.ebp_backward_allevents(
-                    graph, params, [sl(v) for v in values],
-                    [sl(v) for v in posvals], elems_i,
-                    vals_i.astype(x.dtype), subtree_mode=mode, eps=eps,
-                    with_bias=wb, n_buckets=n_buckets)
-                merged, sel = _wsebp_select_merge(
-                    P_out, maxes, scores_i, topk, do_max, eps)
-                return carry, (merged, sel)
+            def sel(Pb, mb, sb):
+                return _wsebp_select_merge(Pb[:, None], mb, sb, topk,
+                                           do_max, eps)
 
-            _, (merged, sel) = jax.lax.scan(
-                body, None,
-                (jnp.arange(x.shape[0]), elems, vals, scores))
-            return merged, sel  # [B,H,W], [B,n_cand]
+            return jax.vmap(sel, in_axes=(1, 1, 0))(P_out, maxes, scores)
 
-        return self._kernel(("wsebp_sweep_select_scan", mode, wb, n_buckets,
-                             int(topk), bool(do_max), str(sweep_dt)),
-                            lambda: fn)
+        return self._kernel(("wsebp_sweep_select_batch", mode, wb,
+                             n_buckets, int(topk), bool(do_max),
+                             str(sweep_dt)), lambda: fn)
 
     def _wsebp_sweep_select_shmap_fn(self, topk, do_max, n_buckets=12):
         """jitted: the scan-batched fused sweep with PROBES sharded over
@@ -1188,8 +1257,10 @@ class Whitebox:
         the single-chip scan-batching win under the mesh, unlike the
         rows-over-'dp' per-probe launches (which replicate every forward
         pair across devices and shard each sweep to n_cand/n_dev-row
-        slivers); measured 2.6x faster at B=8 on the 8-device CPU mesh
-        (see dryrun_multichip output)."""
+        slivers).  Do not benchmark this on the virtual CPU mesh: the
+        CPU backend executes shard_map partitions sequentially
+        (tools/_mesh_wsebp_ab.py measures exactly n_dev x the one-probe
+        sweep), which real chips do not."""
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         sweep_dt = self._wsebp_dtype
@@ -1360,15 +1431,23 @@ class Whitebox:
                 merged_d, sel_d = self._wsebp_sweep_select_scan_fn(
                     topk, bool(do_max_subtree))(
                     self.net.params, x_pad, idxs32, vals_d, scores_d)
-                launches = None
             else:
-                # mesh mode: per-probe sweeps with candidate rows sharded
-                # over 'dp'
-                x = jnp.asarray(x, jnp.float32)
-                launches = [self._wsebp_fused_launch(
-                                x[i:i + 1], idxs32[i], vals_d[i],
-                                scores_d[i], topk, do_max_subtree)
-                            for i in range(B)]
+                # mesh mode: probes sharded over 'dp', each device
+                # running the scan-batched recipe on its local shard.
+                # This keeps the single-chip scan-batching win under the
+                # mesh; the round-2 per-probe rows-over-'dp' launches
+                # replicate every forward pair across all devices (n_dev
+                # x B redundant forwards) and shard each sweep into
+                # n_cand/n_dev-row slivers.  NB the virtual-CPU mesh is
+                # not evidence here: the CPU backend executes shard_map
+                # partitions SEQUENTIALLY (tools/_mesh_wsebp_ab.py
+                # measures exactly n_dev x one-probe-sweep wall time),
+                # while real chips run them concurrently — see the A/B
+                # notes in CLAUDE.md.
+                merged_d, sel_d = self._wsebp_sweep_select_shmap_fn(
+                    topk, bool(do_max_subtree))(
+                    self.net.params, x_pad, idxs32, vals_d, scores_d)
+            launches = None
         finally:
             self._ebp_subtree_mode = prev_mode
 

@@ -247,7 +247,12 @@ def ebp_backward_allevents(
     costs one single-row scatter.
 
     ``elems``/``vals`` are [n_events-1] traced arrays: flat element index
-    and injection value per candidate (row k = event k).
+    and injection value per candidate (row k = event k).  With
+    PROBE-BATCHED captures (``values``/``posvals`` leading dim P > 1)
+    pass [n_events-1, P] arrays — every op then carries a [rows, P, ...]
+    batch (the injected one-hot broadcasts per probe; still no gather),
+    which keeps the MXU fed where a per-probe scan pays XLA's per-op
+    overhead 378 x P times on small tensors.
 
     ``n_buckets`` splits the candidate rows into contiguous event ranges.
     ``graph.event_node`` is non-increasing in event index, so rows of a
@@ -308,10 +313,24 @@ def ebp_backward_allevents(
                     rshape = p.shape[1:]
                     rowsel = jnp.zeros((nb,) + (1,) * len(rshape),
                                        p.dtype).at[inj_row].set(1)
-                    iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (p[0].size, 1), 0).reshape(rshape)
-                    onehot = jnp.where(iota == elems[ev.idx],
-                                       vals[ev.idx].astype(p.dtype), 0)
+                    if elems.ndim == 1:
+                        iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (p[0].size, 1), 0).reshape(rshape)
+                        onehot = jnp.where(iota == elems[ev.idx],
+                                           vals[ev.idx].astype(p.dtype), 0)
+                    else:
+                        # probe-batched: per-probe flat index/value into
+                        # each probe's [C,H,W] plane; broadcast compare,
+                        # no gather
+                        per = p[0, 0].size  # per-probe plane size
+                        npr = rshape[0]
+                        iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (per, 1), 0).reshape(rshape[1:])
+                        onehot = jnp.where(
+                            iota[None] == elems[ev.idx].reshape(
+                                (npr,) + (1,) * (len(rshape) - 1)),
+                            vals[ev.idx].astype(p.dtype).reshape(
+                                (npr,) + (1,) * (len(rshape) - 1)), 0)
                     p = p * (1 - rowsel) + rowsel * onehot
                     rowsel_b = rowsel > 0
                 if subtree_mode == "affineonly":
@@ -350,7 +369,9 @@ def ebp_backward_allevents(
                 grads[i] = c if grads[i] is None else grads[i] + c
         _finalize(graph.input_id)
 
-    P_out = jnp.concatenate(outs, axis=0)  # [n_cand, 1, H, W]
+    P_out = jnp.concatenate(outs, axis=0)  # [n_cand, {1|P}, H, W]
+    if elems.ndim == 2:  # probe-batched: per-(row, probe) maxima
+        return P_out, P_out.max(axis=(2, 3))
     return P_out, P_out.max(axis=(1, 2, 3))
 
 
