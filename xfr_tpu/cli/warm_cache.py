@@ -1,0 +1,128 @@
+"""Pre-compile the canonical-shape production programs into the
+persistent JAX compilation cache (xfr_tpu enables it at
+~/.cache/xfr_tpu_jax; override with XFR_JAX_CACHE_DIR).
+
+Run once per machine/install (or after upgrading jax / the package):
+
+    python -m xfr_tpu.cli.warm_cache --net resnetv4_pytorch
+
+Afterwards a fresh process's first saliency map pays persistent-cache
+*loads* instead of full XLA compiles.  NB on the axon remote-compile
+service even cache loads round-trip to the service, so cold start is
+bounded below by service latency (measured table in docs/guide.md) —
+this tool removes the multi-minute compile component, not the service
+round trips.
+
+The warmed set covers the whitebox generation mix (meanEBP pooled,
+fused contrastive+truncated, wsebp ranking + scan-batched sweep at the
+canonical batch size), the embeddings encode chunk, the eval-stage
+blend+encode chunk, and optionally the blackbox fused scorer + mask
+sampler (--bb).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
+         num_masks=6500, verbose=True):
+    import jax.numpy as jnp
+
+    from xfr_tpu.models import create_wbnet
+
+    t_all = time.time()
+    steps = []
+
+    def step(name, fn):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        steps.append((name, dt))
+        if verbose:
+            print("  %-38s %6.1f s" % (name, dt), flush=True)
+
+    wb = create_wbnet(net_name, ebp_version=6)
+    wb.wsebp_dtype = jnp.bfloat16  # production CLI default
+    rng = np.random.RandomState(0)
+    B = batch_size
+    probes = jnp.asarray(rng.rand(B, 3, 224, 224) * 50, jnp.float32)
+    D = wb.net.embed_dim
+
+    step("encode chunk [%d]" % wb.batch_size,
+         lambda: np.asarray(wb.embeddings(
+             np.asarray(rng.rand(2, 3, 224, 224), np.float32))))
+
+    def _mean():
+        wb.net.reset_classifier()
+        Pn = jnp.ones((B, wb.net.num_classes()), jnp.float32)
+        np.asarray(wb._ebp_pooled_fn()(wb.net.params, probes, Pn)[0])
+
+    step("meanEBP pooled (B=%d)" % B, _mean)
+
+    em = rng.rand(B, D).astype(np.float32)
+    en = rng.rand(B, D).astype(np.float32)
+    em /= np.linalg.norm(em, axis=1, keepdims=True)
+    en /= np.linalg.norm(en, axis=1, keepdims=True)
+
+    def _ct():
+        wb.set_triplet_classifier_batch(em / 2500.0, en / 2500.0)
+        wb.launch_contrastive_ebp_batch_both(probes, truncate_percent=20)()
+
+    step("contrastive+truncated both (B=%d)" % B, _ct)
+
+    def _ws():
+        wb.set_triplet_classifier_batch(em, en)
+        wb.launch_weighted_subtree_ebp_batch(
+            probes, topk=32, subtree_mode="norelu")()
+
+    step("wsebp ranking + scan sweep (B=%d)" % B, _ws)
+
+    def _blend():
+        masks = np.zeros((4, 224, 224), bool)
+        masks[1:, 40:80, 40:80] = True
+        wb.blend_embeddings(np.asarray(probes[0]), np.asarray(probes[1]),
+                            masks)
+
+    step("eval blend+encode chunk", _blend)
+
+    if bb:
+        from xfr_tpu.blackbox import STRise
+
+        probe_im = (rng.rand(224, 224, 3) * 255).astype(np.uint8)
+        refs = [probe_im.copy() for _ in range(2)]
+
+        def _bb():
+            st = STRise(probe=probe_im, refs=refs, gallery=refs,
+                        black_box=net_name,
+                        net_dict={(net_name, 6): wb,
+                                  ("resnetv4_pytorch", None): wb},
+                        mask_scale=12, num_mask_elements=2,
+                        mask_fill_type="blur", blur_fill_sigma_percent=4,
+                        num_masks=num_masks, seed=0,
+                        prior_type="mean_ebp")
+            st.launch_evaluate()()
+
+        step("blackbox prior+masks+fused scorer", _bb)
+
+    total = time.time() - t_all
+    if verbose:
+        print("warm_cache done: %.1f s total" % total, flush=True)
+    return steps
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--net", default="resnetv4_pytorch")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--num-masks", type=int, default=6500)
+    parser.add_argument("--no-bb", action="store_true",
+                        help="skip the blackbox scorer programs")
+    args = parser.parse_args(argv)
+    warm(args.net, args.batch_size, bb=not args.no_bb,
+         num_masks=args.num_masks)
+
+
+if __name__ == "__main__":
+    main()

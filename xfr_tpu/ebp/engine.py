@@ -203,6 +203,9 @@ class Whitebox:
         # probes per scan step in the batched sweep: each step's walk ops
         # carry a [rows, chunk, ...] batch (see _wsebp_sweep_select_scan_fn)
         self.wsebp_probe_chunk = 1
+        # lax.scan unroll of the per-probe sweep steps (scheduler can
+        # interleave independent probes' small ops)
+        self.wsebp_scan_unroll = 1
         self.eps = float(eps)
         self.ebp_ver = 6 if ebp_version is None else ebp_version
         if self.ebp_ver < 4:
@@ -1134,7 +1137,7 @@ class Whitebox:
                              id(mesh)), lambda: fn)
 
     def _wsebp_sweep_select_scan_fn(self, topk, do_max, n_buckets=12,
-                                    probe_chunk=None):
+                                    probe_chunk=None, unroll=None):
         """jitted: fused sweep+selection+merge for a whole probe BATCH in
         one program — one batch-B forward-capture pair shared by a
         lax.scan over probe CHUNKS whose body is the probe-batched
@@ -1157,6 +1160,7 @@ class Whitebox:
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         sweep_dt = self._wsebp_dtype
         chunk = int(probe_chunk or self.wsebp_probe_chunk)
+        unroll = int(unroll or self.wsebp_scan_unroll)
 
         @jax.jit
         def fn(params, x, elems, vals, scores):
@@ -1199,13 +1203,14 @@ class Whitebox:
                 (jnp.arange(nsteps),
                  elems.reshape(nsteps, C, -1),
                  vals.reshape(nsteps, C, -1),
-                 scores.reshape(nsteps, C, -1)))
+                 scores.reshape(nsteps, C, -1)),
+                unroll=min(unroll, nsteps))
             return (merged.reshape(B, *merged.shape[2:]),
                     sel.reshape(B, *sel.shape[2:]))  # [B,H,W], [B,n_cand]
 
         return self._kernel(("wsebp_sweep_select_scan", mode, wb, n_buckets,
-                             int(topk), bool(do_max), str(sweep_dt), chunk),
-                            lambda: fn)
+                             int(topk), bool(do_max), str(sweep_dt), chunk,
+                             unroll), lambda: fn)
 
     def _wsebp_sweep_select_batch_fn(self, topk, do_max, n_buckets=12):
         """jitted: fused sweep+selection+merge for a whole probe BATCH as
