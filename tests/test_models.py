@@ -172,66 +172,72 @@ def _randomize(net, seed):
     return net.double().eval()
 
 
-@pytest.mark.parametrize("mode", ["norelu", "all"])
-def test_resnet101_mini_parity(mode):
+# Session-scoped replica cache: the torch twin, conversion, forward
+# reference, and the HookEBP oracle are built ONCE per net and shared
+# across the subtree-mode parametrizations (the oracle's mode is mutated
+# per run — hooks register once; re-wrapping a net double-fires them).
+
+
+@pytest.fixture(scope="module")
+def r101_mini():
     layers = (1, 1, 1, 1)
     tnet = _randomize(_STResNet(layers, 7), 3)
     graph, shapes, enc = build_resnet101(num_classes=7, layers=layers)
     params = params_from_state_dict(shapes, tnet.state_dict(),
                                     dtype=jnp.float64)
-
     x = torch.randn((1, 3, 224, 224), dtype=torch.float64,
                     generator=torch.Generator().manual_seed(11))
     with torch.no_grad():
         y_ref = tnet(x).numpy()
+    oracle = HookEBP(tnet, (_Bottleneck,), eps=1e-12, subtree_mode="all")
+    return graph, params, x, y_ref, oracle
+
+
+@pytest.fixture(scope="module")
+def lcnn_mini():
+    layers = (1, 1, 1, 1)
+    tnet = _randomize(_LightCNN29v2(layers, 9), 4)
+    graph, shapes, enc = build_lightcnn29v2(num_classes=9, layers=layers)
+    params = params_from_state_dict(shapes, tnet.state_dict(),
+                                    dtype=jnp.float64)
+    x = torch.rand((1, 1, 128, 128), dtype=torch.float64,
+                   generator=torch.Generator().manual_seed(12))
+    with torch.no_grad():
+        y_ref = tnet(x).numpy()
+    oracle = HookEBP(tnet, (MFMConv, MFMLinear, _Resblock, _Group),
+                     eps=1e-12, subtree_mode="all")
+    return graph, params, x, y_ref, oracle
+
+
+def _mini_parity(setup, mode, n_classes, stride):
+    graph, params, x, y_ref, oracle = setup
     values = I.forward_clean(graph, params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(values[graph.output_id]), y_ref,
                                rtol=1e-9, atol=1e-10)
 
-    oracle = HookEBP(tnet, (_Bottleneck,), eps=1e-12, subtree_mode=mode)
-    Pn = torch.zeros((1, 7), dtype=torch.float64)
+    oracle.subtree_mode = mode
+    Pn = torch.zeros((1, n_classes), dtype=torch.float64)
     Pn[0, 1] = 1.0
     P_ref, names = oracle.run(x, Pn)
     out = I.ebp(graph, params, jnp.asarray(x.numpy()),
                 jnp.asarray(Pn.numpy()), subtree_mode=mode, eps=1e-12)
     assert len(P_ref) == graph.n_events
     # Check the saliency-bearing event (P[-2]) and a sample through depth.
-    for k in list(range(0, graph.n_events, 7)) + [graph.n_events - 2,
-                                                  graph.n_events - 1]:
+    for k in list(range(0, graph.n_events, stride)) + [graph.n_events - 2,
+                                                       graph.n_events - 1]:
         np.testing.assert_allclose(
             np.asarray(out[k]), P_ref[k].numpy(), rtol=1e-6, atol=1e-12,
             err_msg=f"event {k} ({names[k]})")
+
+
+@pytest.mark.parametrize("mode", ["norelu", "all"])
+def test_resnet101_mini_parity(r101_mini, mode):
+    _mini_parity(r101_mini, mode, n_classes=7, stride=7)
 
 
 @pytest.mark.parametrize("mode", ["affineonly_with_prior", "all"])
-def test_lightcnn_mini_parity(mode):
-    layers = (1, 1, 1, 1)
-    tnet = _randomize(_LightCNN29v2(layers, 9), 4)
-    graph, shapes, enc = build_lightcnn29v2(num_classes=9, layers=layers)
-    params = params_from_state_dict(shapes, tnet.state_dict(),
-                                    dtype=jnp.float64)
-
-    x = torch.rand((1, 1, 128, 128), dtype=torch.float64,
-                   generator=torch.Generator().manual_seed(12))
-    with torch.no_grad():
-        y_ref = tnet(x).numpy()
-    values = I.forward_clean(graph, params, jnp.asarray(x.numpy()))
-    np.testing.assert_allclose(np.asarray(values[graph.output_id]), y_ref,
-                               rtol=1e-9, atol=1e-10)
-
-    oracle = HookEBP(tnet, (MFMConv, MFMLinear, _Resblock, _Group),
-                     eps=1e-12, subtree_mode=mode)
-    Pn = torch.zeros((1, 9), dtype=torch.float64)
-    Pn[0, 1] = 1.0
-    P_ref, names = oracle.run(x, Pn)
-    out = I.ebp(graph, params, jnp.asarray(x.numpy()),
-                jnp.asarray(Pn.numpy()), subtree_mode=mode, eps=1e-12)
-    assert len(P_ref) == graph.n_events
-    for k in list(range(0, graph.n_events, 5)) + [graph.n_events - 2,
-                                                  graph.n_events - 1]:
-        np.testing.assert_allclose(
-            np.asarray(out[k]), P_ref[k].numpy(), rtol=1e-6, atol=1e-12,
-            err_msg=f"event {k} ({names[k]})")
+def test_lightcnn_mini_parity(lcnn_mini, mode):
+    _mini_parity(lcnn_mini, mode, n_classes=9, stride=5)
 
 
 def test_fullsize_builds():

@@ -1452,7 +1452,6 @@ class Whitebox:
                 merged_d, sel_d = self._wsebp_sweep_select_shmap_fn(
                     topk, bool(do_max_subtree))(
                     self.net.params, x_pad, idxs32, vals_d, scores_d)
-            launches = None
         finally:
             self._ebp_subtree_mode = prev_mode
 
@@ -1461,16 +1460,12 @@ class Whitebox:
             self._ebp_subtree_mode = subtree_mode
             try:
                 scores = np.asarray(scores_d, np.float32)
-                if launches is None:
-                    merged = np.asarray(merged_d, np.float32)
-                    sel = np.asarray(sel_d)
-                    return [self._wsebp_fused_finish(
-                                merged[i], sel[i], scores[i], verbose,
-                                do_mwp_to_saliency)
-                            for i in range(B)]
+                merged = np.asarray(merged_d, np.float32)
+                sel = np.asarray(sel_d)
                 return [self._wsebp_fused_finish(
-                            sm, sel, scores[i], verbose, do_mwp_to_saliency)
-                        for i, (sm, sel) in enumerate(launches)]
+                            merged[i], sel[i], scores[i], verbose,
+                            do_mwp_to_saliency)
+                        for i in range(B)]
             finally:
                 self._ebp_subtree_mode = prev
 
