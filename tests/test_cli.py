@@ -297,3 +297,20 @@ def test_hiding_game_cli(tmp_path, monkeypatch):
     assert len(df) > 0
     assert {"hidden_pct", "score"} <= set(df.columns)
     assert np.isfinite(df["score"]).all()
+
+
+def test_warm_cache_smoke():
+    """warm_cache compiles every canonical production program (injected
+    toy net keeps it CPU-fast); each step must run and report a time."""
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.cli.warm_cache import warm
+
+    wb = make_toy_wbnet(num_classes=6, seed=2)
+    steps = warm(net_name="resnetv4_pytorch", batch_size=2, bb=True,
+                 num_masks=16, verbose=False, wb=wb)
+    names = [n for n, _ in steps]
+    assert any("meanEBP" in n for n in names)
+    assert any("wsebp" in n for n in names)
+    assert any("blend" in n for n in names)
+    assert any("blackbox" in n for n in names)
+    assert all(dt >= 0 for _, dt in steps)

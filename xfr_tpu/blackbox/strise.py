@@ -491,6 +491,11 @@ class STRise:
         neg_sorted_idx = sorted_idx[self.mask_scores[sorted_idx] < 0][::-1]
 
         if positive_scores:
+            if pos_sorted_idx.size == 0:
+                raise ValueError(
+                    "no positively-scored masks: the probe scores "
+                    "identically against refs and gallery (are they the "
+                    "same images?) — cannot form a saliency map")
             threshold = np.percentile(self.mask_scores[pos_sorted_idx],
                                       percentile)
             selected = self.mask_scores >= threshold

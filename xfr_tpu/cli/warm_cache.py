@@ -27,10 +27,8 @@ import numpy as np
 
 
 def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
-         num_masks=6500, verbose=True):
+         num_masks=6500, verbose=True, wb=None):
     import jax.numpy as jnp
-
-    from xfr_tpu.models import create_wbnet
 
     t_all = time.time()
     steps = []
@@ -43,8 +41,11 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
         if verbose:
             print("  %-38s %6.1f s" % (name, dt), flush=True)
 
-    wb = create_wbnet(net_name, ebp_version=6)
-    wb.wsebp_dtype = jnp.bfloat16  # production CLI default
+    if wb is None:
+        from xfr_tpu.models import create_wbnet
+
+        wb = create_wbnet(net_name, ebp_version=6)
+        wb.wsebp_dtype = jnp.bfloat16  # production CLI default
     rng = np.random.RandomState(0)
     B = batch_size
     probes = jnp.asarray(rng.rand(B, 3, 224, 224) * 50, jnp.float32)
@@ -92,9 +93,13 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
 
         probe_im = (rng.rand(224, 224, 3) * 255).astype(np.uint8)
         refs = [probe_im.copy() for _ in range(2)]
+        # gallery must differ from refs: identical galleries give all-zero
+        # triplet scores and an empty positive-percentile set
+        gals = [(rng.rand(224, 224, 3) * 255).astype(np.uint8)
+                for _ in range(2)]
 
         def _bb():
-            st = STRise(probe=probe_im, refs=refs, gallery=refs,
+            st = STRise(probe=probe_im, refs=refs, gallery=gals,
                         black_box=net_name,
                         net_dict={(net_name, 6): wb,
                                   ("resnetv4_pytorch", None): wb},
