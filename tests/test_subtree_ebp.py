@@ -115,3 +115,53 @@ def test_subtree_ebp_rejects_non_percentile_mode():
     wb, _, x = _setup("chain", "all")
     with pytest.raises(AssertionError):
         wb.subtree_ebp(jnp.asarray(x.numpy()), 2, 3, mode="argmax")
+
+
+def test_subtree_ebp_tied_maxima():
+    """Exact tied maxima in the percentile_argmax prior: duplicate conv1
+    output channels 0/1 (identical filters, bn stats, and conv2 input
+    weights) so their MWP planes tie element-for-element, and boost them
+    so the tied planes hold the maximum.  The reference's argmax keeps
+    ALL ties (resnetEBP.py:278-280: ``prior * (1 - ne(prior, max))``);
+    the engine must match the oracle's scores (v/(n_ties*v) * numel),
+    selection, and maps via its exact tied-prior fallback."""
+    make, shape = N.ALL_NETS["chain"]
+    tnet, graph, params, containers = make(0)
+    with torch.no_grad():
+        tnet.conv1.weight[0] *= 10.0
+        tnet.conv1.weight[1] = tnet.conv1.weight[0]
+        tnet.conv1.bias[1] = tnet.conv1.bias[0]
+        tnet.conv1.weight[2:] *= 0.05  # tied planes must hold the max
+        tnet.conv1.bias[2:] *= 0.05
+        for attr in ("weight", "bias", "running_mean", "running_var"):
+            getattr(tnet.bn1, attr)[1] = getattr(tnet.bn1, attr)[0]
+        tnet.conv2.weight[:, 1] = tnet.conv2.weight[:, 0]
+    params = dict(params)
+    params["conv1"] = N.conv_params(tnet.conv1)
+    params["bn1"] = N.bn_params(tnet.bn1)
+    params["conv2"] = N.conv_params(tnet.conv2)
+
+    net = WhiteboxNetwork(graph, params, encode_tensor=graph.output_id,
+                          classifier_pname="fc2", num_classes=5,
+                          name="chain-tied")
+    wb = Whitebox(net, ebp_version=6, ebp_subtree_mode="all", eps=1e-12)
+    oracle = HookEBP(tnet, containers, eps=1e-12, subtree_mode="all")
+    x = torch.rand(shape, generator=torch.Generator().manual_seed(21),
+                   dtype=torch.float64)
+
+    # confirm the construction really produces tied maxima somewhere
+    elems, vals, scores, ties = wb._subtree_rank_fn(True)(
+        wb.net.params, wb._as_input(jnp.asarray(x.numpy())),
+        jnp.stack([wb._onehot(2), wb._onehot(3)]), 20.0)
+    assert (np.asarray(ties)[np.asarray(vals) > 0] > 1).any(), \
+        "channel surgery produced no ties; test needs a new construction"
+
+    smap_ref, scores_ref, k_ref = oracle_subtree_ebp(
+        wb, oracle, x, 2, 3, percentile=20, mode="percentile_argmax",
+        topk=3)
+    smap, scores, k_sub = wb.subtree_ebp(
+        jnp.asarray(x.numpy()), 2, 3, percentile=20,
+        mode="percentile_argmax", topk=3)
+    assert k_sub == k_ref
+    np.testing.assert_allclose(scores, scores_ref, rtol=1e-6)
+    np.testing.assert_allclose(smap, smap_ref, rtol=1e-5, atol=1e-9)

@@ -98,11 +98,11 @@ def main(argv=None):
         except Exception as e:
             print("Job failed: %r (%s)" % (job, e))
             failures.append((job, repr(e)))
-    try:
-        pipeline.drain()
-    except Exception as e:
-        print("Final drain failed: %s" % e)
-        failures.append(("<drain>", repr(e)))
+    pipeline.drain()
+    # pending-map failures are recorded under their OWN label by the
+    # pipeline (a map drains during a later job's push; attributing its
+    # error to that job, or aborting that job's probes, would be wrong)
+    failures.extend(pipeline.failures)
     if failures:
         print("\n%d failed jobs:" % len(failures))
         for f in failures:

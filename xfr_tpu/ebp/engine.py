@@ -649,7 +649,7 @@ class Whitebox:
                     subtree_mode=smode, eps=eps, with_bias=wb, keep=keep)
 
             P = jax.vmap(bwd)(Pns)  # {event: [2, ...]}
-            elems, vals, scores, priors = [], [], [], []
+            elems, vals, scores, ties, priors = [], [], [], [], []
             for k in keep:
                 Pm = P[k][0]
                 C = jnp.maximum(Pm - P[k][1], 0.0)
@@ -658,20 +658,56 @@ class Whitebox:
                     flat = pr.reshape(-1)
                     el = jnp.argmax(flat)
                     v = flat[el]
+                    nt = (flat == v).sum()  # tied maxima count
                     elems.append(el.astype(jnp.int32))
                     vals.append(v)
-                    # argmax'd prior is the single element v
-                    scores.append((v / (1e-12 + v)) * flat.size)
+                    ties.append(nt.astype(jnp.int32))
+                    # the reference's argmax keeps ALL tied maxima
+                    # (resnetEBP.py:278-280): prior = nt elements of v,
+                    # so max(prior/sum(prior)) = v/(nt*v)
+                    scores.append(
+                        (v / (1e-12 + v * nt.astype(v.dtype)))
+                        * flat.size)
                 else:
                     priors.append(pr)
                     scores.append(
                         (pr.max() / (1e-12 + pr.sum())) * pr.size)
             if argmax:
                 return (jnp.stack(elems), jnp.stack(vals),
-                        jnp.stack(scores))
+                        jnp.stack(scores), jnp.stack(ties))
             return tuple(priors), jnp.stack(scores)
 
         return self._kernel(("subtree_rank", smode, wb, bool(argmax),
+                             str(self.compute_dtype),
+                             self.net.num_classes()), lambda: fn)
+
+    def _subtree_tied_prior_fn(self, k):
+        """jitted: the FULL argmax'd prior for event ``k`` (value v at
+        every tied-maximum position) — the exact-ties fallback of the
+        subtree_ebp sweep (reference argmax semantics keep all ties,
+        resnetEBP.py:278-280)."""
+        graph = self.net.graph
+        smode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, \
+            self.eps
+
+        @jax.jit
+        def fn(params, x, Pns, percentile):
+            params, x = self._prep(params, x)
+            values = I.forward_clean(graph, params, x)
+            posvals = I.forward_positive(graph, params, values, with_bias=wb)
+
+            def bwd(Pn):
+                return I.ebp_backward(
+                    graph, params, values, posvals, Pn.astype(x.dtype),
+                    subtree_mode=smode, eps=eps, with_bias=wb, keep=(k,))
+
+            P = jax.vmap(bwd)(Pns)
+            Pm = P[k][0]
+            C = jnp.maximum(Pm - P[k][1], 0.0)
+            pr = _percentile_mass_mask(Pm, percentile) * C
+            return jnp.where(pr == pr.max(), pr.max(), 0.0)
+
+        return self._kernel(("subtree_tied_prior", smode, wb, int(k),
                              str(self.compute_dtype),
                              self.net.num_classes()), lambda: fn)
 
@@ -710,20 +746,36 @@ class Whitebox:
                          self._onehot(k_negchannel)])
 
         if mode == "percentile_argmax":
-            elems, vals, scores = self._subtree_rank_fn(True)(
+            elems, vals, scores, ties = self._subtree_rank_fn(True)(
                 self.net.params, x, Pns, float(percentile))
             P_img_dev, maxes = self._wsebp_sweep_fn()(
                 self.net.params, x, elems, vals)
             scores = np.asarray(scores, np.float64)
+            maxes = np.array(maxes)  # writable copy: tied events update it
+            # The reference's argmax keeps ALL tied maxima
+            # (resnetEBP.py:278-280); the batched sweep injects a single
+            # element, so events with ties (rare on continuous data, but
+            # exact duplicates do occur via pools/forks) are recomputed
+            # exactly with the full tied prior.
+            tied = np.where((np.asarray(ties) > 1)
+                            & (np.asarray(vals, np.float64) > 0))[0]
+            tied_maps = {}
+            for k in tied:
+                prior = self._subtree_tied_prior_fn(int(k))(
+                    self.net.params, x, Pns, float(percentile))
+                P = self._prior_ebp(x, {int(k): prior}, mwp=True)
+                maxes[k] = P.max()
+                tied_maps[int(k)] = self._mwp_to_saliency(P)
             # MWP planes are non-negative, so plane-max > 0 iff the
             # blurred saliency map is non-zero (P_img[k].max() > 0 check,
             # resnetEBP.py:303-306)
-            scores = scores * (np.asarray(maxes) > 0)
+            scores = scores * (maxes > 0)
             k_subtree = [int(k) for k in
                          np.argsort(scores, kind="stable")[-topk:]]
             sel = np.asarray(P_img_dev[jnp.asarray(
                 np.asarray(k_subtree, np.int32))], np.float32)
-            maps = [self._mwp_to_saliency(m[0]) for m in sel]
+            maps = [tied_maps.get(k, self._mwp_to_saliency(m[0]))
+                    for k, m in zip(k_subtree, sel)]
         else:
             priors, scores = self._subtree_rank_fn(False)(
                 self.net.params, x, Pns, float(percentile))
@@ -1161,11 +1213,32 @@ class Whitebox:
         sweep_dt = self._wsebp_dtype
         chunk = int(probe_chunk or self.wsebp_probe_chunk)
         unroll = int(unroll or self.wsebp_scan_unroll)
+        local = self._wsebp_scan_local(topk, do_max, n_buckets, chunk,
+                                       unroll)
 
         @jax.jit
         def fn(params, x, elems, vals, scores):
             # x [B,...]; elems/vals/scores [B, n_cand]
             params, x = self._prep(params, x, sweep_dt)
+            return local(params, x, elems, vals, scores)
+
+        return self._kernel(("wsebp_sweep_select_scan", mode, wb, n_buckets,
+                             int(topk), bool(do_max), str(sweep_dt), chunk,
+                             unroll), lambda: fn)
+
+    def _wsebp_scan_local(self, topk, do_max, n_buckets, chunk, unroll):
+        """The batched-sweep body shared by the single-device jit and the
+        shard_map per-device shard: one forward-capture pair + a lax.scan
+        over probe chunks whose step is the bucketed candidate walk on
+        chunk-slices of the captures + the fused selection/merge.
+
+        Returns local(params, x, elems, vals, scores) ->
+        (merged [B,H,W], sel [B,n_cand]); inputs must already be in the
+        sweep compute dtype (callers run self._prep first)."""
+        graph = self.net.graph
+        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+
+        def local(params, x, elems, vals, scores):
             B = x.shape[0]
             C = chunk if B % chunk == 0 else 1
             values = I.forward_clean(graph, params, x)
@@ -1208,9 +1281,7 @@ class Whitebox:
             return (merged.reshape(B, *merged.shape[2:]),
                     sel.reshape(B, *sel.shape[2:]))  # [B,H,W], [B,n_cand]
 
-        return self._kernel(("wsebp_sweep_select_scan", mode, wb, n_buckets,
-                             int(topk), bool(do_max), str(sweep_dt), chunk,
-                             unroll), lambda: fn)
+        return local
 
     def _wsebp_sweep_select_batch_fn(self, topk, do_max, n_buckets=12):
         """jitted: fused sweep+selection+merge for a whole probe BATCH as
@@ -1266,33 +1337,15 @@ class Whitebox:
         CPU backend executes shard_map partitions sequentially
         (tools/_mesh_wsebp_ab.py measures exactly n_dev x the one-probe
         sweep), which real chips do not."""
-        graph = self.net.graph
-        mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        mode, wb = self._ebp_subtree_mode, self._ebp_with_bias
         sweep_dt = self._wsebp_dtype
         mesh = self.mesh
         from jax.sharding import PartitionSpec as Pspec
 
-        def local(params, x, elems, vals, scores):
-            values = I.forward_clean(graph, params, x)
-            posvals = I.forward_positive(graph, params, values,
-                                         with_bias=wb)
-
-            def body(carry, inp):
-                i, elems_i, vals_i, scores_i = inp
-                sl = lambda v: jax.lax.dynamic_slice_in_dim(v, i, 1, 0)
-                P_out, maxes = I.ebp_backward_allevents(
-                    graph, params, [sl(v) for v in values],
-                    [sl(v) for v in posvals], elems_i,
-                    vals_i.astype(x.dtype), subtree_mode=mode, eps=eps,
-                    with_bias=wb, n_buckets=n_buckets)
-                merged, sel = _wsebp_select_merge(
-                    P_out, maxes, scores_i, topk, do_max, eps)
-                return carry, (merged, sel)
-
-            _, (merged, sel) = jax.lax.scan(
-                body, None,
-                (jnp.arange(x.shape[0]), elems, vals, scores))
-            return merged, sel
+        # same sweep body as the single-device jit — any change to the
+        # walk applies to both paths
+        local = self._wsebp_scan_local(topk, do_max, n_buckets,
+                                       chunk=1, unroll=1)
 
         @jax.jit
         def fn(params, x, elems, vals, scores):
@@ -1302,7 +1355,7 @@ class Whitebox:
                 local, mesh=mesh,
                 in_specs=(Pspec(), dp, dp, dp, dp),
                 out_specs=(dp, dp))
-            return lp(params, x, elems, vals.astype(x.dtype), scores)
+            return lp(params, x, elems, vals, scores)
 
         return self._kernel(("wsebp_sweep_select_shmap", mode, wb,
                              n_buckets, int(topk), bool(do_max),

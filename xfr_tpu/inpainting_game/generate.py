@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 import xfr_tpu
-from xfr_tpu.show import create_save_smap
+from xfr_tpu.show import create_save_smap, smap_cached
 from xfr_tpu.utils.image import image_loader
 
 ORIG_PATTERN = ("aligned/{SUBJECT_ID}/{ORIGINAL_BASENAME}/inpainted/"
@@ -285,20 +285,34 @@ class BBPipeline:
     job k's score transfers, saliency post-processing and png/npz writes
     overlap job k+1's device queue.  A single generate_bb_smaps call uses
     a local instance; the CLI driver threads one instance through all its
-    jobs to pipeline across (subject, mask, image) boundaries."""
+    jobs to pipeline across (subject, mask, image) boundaries.
+
+    A pending map's failure is recorded in ``failures`` under its own
+    label instead of raising — the drain happens during a LATER map's
+    push, and raising there would both misattribute the error and abort
+    that later map's remaining work."""
 
     def __init__(self):
         self._pend = None
+        self.failures = []  # (label, repr(exception))
 
-    def push(self, writer):
-        prev, self._pend = self._pend, writer
+    def push(self, writer, label=None):
+        prev, self._pend = self._pend, (label, writer)
         if prev is not None:
-            prev()
+            self._run(prev)
 
     def drain(self):
         if self._pend is not None:
-            p, self._pend = self._pend, None
-            p()
+            prev, self._pend = self._pend, None
+            self._run(prev)
+
+    def _run(self, item):
+        label, writer = item
+        try:
+            writer()
+        except Exception as e:  # recorded, never propagated cross-map
+            print("Blackbox map failed: %s (%s)" % (label, e))
+            self.failures.append((label, repr(e)))
 
 
 def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
@@ -336,47 +350,52 @@ def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
 
     mask_fill_type = "blur"
     blur_sigma_percent = 4
-    for (probe_im, probe_fn), probe_mask_fn, (_, probe_row) in zip(
-            image_loader(probes, returnFileName=True), probe_masks,
-            probe_data.iterrows()):
-        extra_dirs = os.path.split(
-            os.path.relpath(probe_fn, cropped_data_dir))[0]
-        output_dir = os.path.join(multiprobe_data_dir, extra_dirs)
-        os.makedirs(output_dir, exist_ok=True)
-        mask_im = next(iter(image_loader([probe_mask_fn])))
+    try:
+        for (probe_im, probe_fn), probe_mask_fn, (_, probe_row) in zip(
+                image_loader(probes, returnFileName=True), probe_masks,
+                probe_data.iterrows()):
+            extra_dirs = os.path.split(
+                os.path.relpath(probe_fn, cropped_data_dir))[0]
+            output_dir = os.path.join(multiprobe_data_dir, extra_dirs)
+            os.makedirs(output_dir, exist_ok=True)
+            mask_im = next(iter(image_loader([probe_mask_fn])))
 
-        for num_mask_elements in [2]:
-            fn = "bbox-rise-%delem_%s=%d_scale_%s" % (
-                num_mask_elements, mask_fill_type, blur_sigma_percent,
-                rise_scale)
-            if not overwrite and os.path.exists(
-                    "%s/%s-%s-saliency-overlay.png"
-                    % (output_dir, mask_id, fn)) and os.path.exists(
-                    "%s/%s-%s-saliency.npz" % (output_dir, mask_id, fn)):
-                continue  # same skip create_save_smap would take
-            t0 = time.time()
-            finish = create_bbox(
-                blackbox_fn=bb_score_fn, probe_im=probe_im,
-                mates=mates, nonmates=nonmates, rise_scale=rise_scale,
-                num_mask_elements=num_mask_elements,
-                mask_fill_type=mask_fill_type,
-                blur_sigma_percent=blur_sigma_percent,
-                num_masks=num_masks, prior_type=prior_type,
-                mesh=mesh).launch()
+            for num_mask_elements in [2]:
+                fn = "bbox-rise-%delem_%s=%d_scale_%s" % (
+                    num_mask_elements, mask_fill_type, blur_sigma_percent,
+                    rise_scale)
+                if not overwrite and smap_cached(fn, output_dir, mask_id):
+                    continue  # same skip create_save_smap would take
+                t0 = time.time()
+                finish = create_bbox(
+                    blackbox_fn=bb_score_fn, probe_im=probe_im,
+                    mates=mates, nonmates=nonmates, rise_scale=rise_scale,
+                    num_mask_elements=num_mask_elements,
+                    mask_fill_type=mask_fill_type,
+                    blur_sigma_percent=blur_sigma_percent,
+                    num_masks=num_masks, prior_type=prior_type,
+                    mesh=mesh).launch()
 
-            def _write(finish=finish, fn=fn, output_dir=output_dir,
-                       probe_im=probe_im, mask_im=mask_im,
-                       probe_row=probe_row, t0=t0):
-                create_save_smap(
-                    fn, output_dir, overwrite, smap_fn=finish,
-                    probe_im=probe_im, mask_im=mask_im, mask_id=mask_id,
-                    probe_info=probe_row)
-                dt = time.time() - t0
-                print("Time: %dm %fs" % (int(dt // 60), dt % 60))
+                def _write(finish=finish, fn=fn, output_dir=output_dir,
+                           probe_im=probe_im, mask_im=mask_im,
+                           probe_row=probe_row, t0=t0):
+                    create_save_smap(
+                        fn, output_dir, overwrite, smap_fn=finish,
+                        probe_im=probe_im, mask_im=mask_im, mask_id=mask_id,
+                        probe_info=probe_row)
+                    dt = time.time() - t0
+                    print("Time: %dm %fs" % (int(dt // 60), dt % 60))
 
-            pipeline.push(_write)
-    if local:
-        pipeline.drain()
+                pipeline.push(_write, label="%s subj %s mask %s %s" % (
+                    net_name, subj_id, mask_id, fn))
+    finally:
+        # a later probe's failure must not discard an earlier probe's
+        # pending, fully-computed map
+        if local:
+            pipeline.drain()
+    if local and pipeline.failures:
+        raise RuntimeError("blackbox map(s) failed: %r"
+                           % (pipeline.failures,))
 
 
 def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,

@@ -129,17 +129,30 @@ def plotMaskOverlap(img, mask, smap, method, output_dir, mask_id,
     imageio.imwrite(fname.format(SUFFIX=""), (rgb * 255).astype(np.uint8))
 
 
+def smap_paths(method, output_dir, mask_id):
+    """(overlay png, npz) output paths for one saliency map — the single
+    source of the naming convention create_save_smap writes and the
+    generation pipelines' skip checks read."""
+    overlay = "{}/{}-{}-saliency-overlay.png".format(output_dir, mask_id,
+                                                     method)
+    npz = "{}/{}-{}-saliency.npz".format(output_dir, mask_id, method)
+    return overlay, npz
+
+
+def smap_cached(method, output_dir, mask_id):
+    """True when both outputs for this map already exist on disk."""
+    overlay, npz = smap_paths(method, output_dir, mask_id)
+    return os.path.exists(overlay) and os.path.exists(npz)
+
+
 def create_save_smap(method, output_dir, overwrite, smap_fn, mask_id,
                      probe_im, probe_info, mask_im):
     """Compute + write saliency overlay png and npz unless cached
     (reference: show.py:196-223)."""
     import imageio.v2 as imageio
 
-    overlay_filename = "{}/{}-{}-saliency-overlay.png".format(
-        output_dir, mask_id, method)
-    npz_filename = "{}/{}-{}-saliency.npz".format(output_dir, mask_id, method)
-    if overwrite or not (os.path.exists(overlay_filename)
-                         and os.path.exists(npz_filename)):
+    overlay_filename, npz_filename = smap_paths(method, output_dir, mask_id)
+    if overwrite or not smap_cached(method, output_dir, mask_id):
         smap = np.asarray(smap_fn(), np.float32)
         smap -= smap.min()
         smap /= smap.sum()
