@@ -82,16 +82,22 @@ def bench_blackbox(wb, rng, n_maps=3, num_masks=6500):
     return 1.0 / dt
 
 
-def bench_eval(wb, rng, n_iters=4):
+def bench_eval(wb, rng, n_iters=8):
     """Sustained probe-method eval rate: percent-density threshold sweep
-    (101 blends embedded in one batch + twin classification) + IoU curve,
-    exactly the analysis stage's per-unit work (analysis.py:407-499)."""
+    (101 blends + twin classification) + IoU curve, exactly the analysis
+    stage's per-unit work AND overlap (analysis.py:407-525: launch the
+    twin-cls device blend+encode, compute the host IoU curve while it
+    runs, drain).  Units cycle 2 probe pairs x 4 saliency maps, matching
+    the production 4-methods-per-probe upload reuse."""
     from xfr_tpu.inpainting_game import protocol as ipg
 
     percentiles = np.unique(np.sort(np.append(np.arange(0, 100, 1),
                                               [0, 100])))
-    orig = (rng.rand(3, 224, 224) * 50).astype(np.float32)
-    inp = orig + (rng.rand(3, 224, 224) * 30).astype(np.float32)
+    pairs = []
+    for _ in range(2):
+        orig = (rng.rand(3, 224, 224) * 50).astype(np.float32)
+        inp = orig + (rng.rand(3, 224, 224) * 30).astype(np.float32)
+        pairs.append((orig, inp))
 
     def embed(ims):
         e = np.asarray(wb.embeddings(np.stack(ims)))
@@ -99,18 +105,25 @@ def bench_eval(wb, rng, n_iters=4):
         m = e.mean(axis=0, keepdims=True)
         return m / np.linalg.norm(m, axis=1, keepdims=True)
 
-    og = embed([orig + rng.rand(3, 224, 224).astype(np.float32)
-                for _ in range(2)])
-    ig = embed([inp + rng.rand(3, 224, 224).astype(np.float32)
-                for _ in range(2)])
-    smap = rng.rand(224, 224).astype(np.float64)
-    smap[60:120, 80:150] += 4.0  # salient region
-    smap /= smap.sum()
+    gals = [(embed([o + rng.rand(3, 224, 224).astype(np.float32)
+                    for _ in range(2)]),
+             embed([i + rng.rand(3, 224, 224).astype(np.float32)
+                    for _ in range(2)]))
+            for o, i in pairs]
+    smaps = []
+    for _ in range(4):
+        smap = rng.rand(224, 224).astype(np.float64)
+        smap[60:120, 80:150] += 4.0  # salient region
+        smap /= smap.sum()
+        smaps.append(smap)
     gt = np.zeros((224, 224), bool)
     gt[60:120, 80:150] = True
 
-    def one():
-        cls, pg, pr = ipg.classified_as_inpainted_twin(
+    def one(k):
+        orig, inp = pairs[k // 4 % 2]
+        og, ig = gals[k // 4 % 2]
+        smap = smaps[k % 4]
+        finish = ipg.launch_classified_as_inpainted_twin(
             wb, orig, inp, og, ig, smap,
             mask_threshold_method="percent-density",
             percentiles=percentiles, seed=7,
@@ -118,14 +131,16 @@ def bench_eval(wb, rng, n_iters=4):
         iou = ipg.intersect_over_union_thresholded_saliency(
             smap, gt, "percent-density", percentiles=percentiles,
             seed=7, include_zero_elements=False)
+        cls, pg, pr = finish()
         return cls, iou
 
-    cls, iou = one()  # warmup / compile
+    cls, iou = one(0)  # warmup / compile
     assert len(cls) == len(percentiles) and np.isfinite(iou).all()
+    wb._upload_memo.clear()  # first timed unit re-pays its upload
 
     t0 = time.time()
-    for _ in range(n_iters):
-        one()
+    for k in range(n_iters):
+        one(k)
     dt = (time.time() - t0) / n_iters
     return 1.0 / dt
 

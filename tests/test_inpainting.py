@@ -174,3 +174,85 @@ def test_device_blend_path_matches_host():
         saliency_map=smap, mask_threshold_method="percent-density",
         percentiles=PCT, seed=3, mask_blur_sigma=2.0)
     assert not cls_b[0]
+
+
+def test_blend_embeddings_nonmono_fallback_matches_host():
+    """Non-monotone mask families cannot use the enter-count program and
+    must fall back to the bit-packed path — equality vs host blends."""
+    from tests.fixtures import make_toy_wbnet
+
+    wb = make_toy_wbnet(num_classes=4, seed=2)
+    rng = np.random.RandomState(11)
+    orig = (rng.rand(3, 224, 224) * 50).astype(np.float32)
+    inp = orig + (rng.rand(3, 224, 224) * 30).astype(np.float32)
+    masks = rng.rand(5, 224, 224) > 0.5  # random: not nested
+    assert not np.all(masks[1:] >= masks[:-1])
+
+    dev = wb.blend_embeddings(orig, inp, masks, norm=False)
+    blends = np.where(masks[:, None], inp[None], orig[None])
+    host = np.asarray(wb.embeddings(blends, norm=False))
+    np.testing.assert_array_equal(dev, host.reshape(dev.shape))
+
+
+def test_blend_embeddings_mono_program_matches_host():
+    """Monotone (threshold) families take the single-scan enter-count
+    program; embeddings must still equal the host blends exactly."""
+    from tests.fixtures import make_toy_wbnet
+
+    wb = make_toy_wbnet(num_classes=4, seed=2)
+    rng = np.random.RandomState(12)
+    orig = (rng.rand(3, 224, 224) * 50).astype(np.float32)
+    inp = orig + (rng.rand(3, 224, 224) * 30).astype(np.float32)
+    smap = rng.rand(224, 224)
+    smap /= smap.sum()
+    masks = create_threshold_masks(smap, "percent-density",
+                                   percentiles=PCT, seed=5)
+    assert np.all(masks[1:] >= masks[:-1])
+
+    dev = wb.blend_embeddings(orig, inp, masks, norm=False)
+    bs_m = min(wb.blend_batch,
+               -(-len(masks) // wb.batch_size) * wb.batch_size)
+    assert ("blend_encode_mono", len(masks), bs_m, None) in wb._jit_cache
+    blends = np.where(masks[:, None], inp[None], orig[None])
+    host = np.asarray(wb.embeddings(blends, norm=False))
+    np.testing.assert_array_equal(dev, host.reshape(dev.shape))
+
+
+def test_launch_classified_matches_sync_and_memo_is_safe():
+    """launch + finish == the synchronous call, and the content-hash
+    upload memo never confuses two different probe pairs of identical
+    shape."""
+    from xfr_tpu.inpainting_game import launch_classified_as_inpainted_twin
+    from tests.fixtures import make_toy_wbnet
+
+    wb = make_toy_wbnet(num_classes=4, seed=3)
+    rng = np.random.RandomState(13)
+
+    def unit(seed):
+        r = np.random.RandomState(seed)
+        orig = (r.rand(3, 224, 224) * 50).astype(np.float64)
+        inp = orig + r.rand(3, 224, 224) * 30
+        smap = r.rand(224, 224)
+        smap[40:120, 60:160] += 4.0
+        smap /= smap.sum()
+
+        def embed(im):
+            e = np.asarray(wb.embeddings(
+                np.asarray(im, np.float32)[None]))
+            return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+        return dict(original_imT=orig, inpaint_imT=inp,
+                    original_gal_embed=embed(orig),
+                    inpaint_gal_embed=embed(inp), saliency_map=smap,
+                    mask_threshold_method="percent-density",
+                    percentiles=PCT, seed=3,
+                    include_zero_elements=False)
+
+    u1, u2 = unit(20), unit(21)
+    for u in (u1, u2, u1):  # revisit u1: memo must return its own pair
+        sync = classified_as_inpainted_twin(wb, **u)
+        fin = launch_classified_as_inpainted_twin(wb, **u)
+        launched = fin()
+        for a, b in zip(sync, launched):
+            np.testing.assert_array_equal(a, b)
+    assert len(wb._upload_memo) == 4  # 2 pairs x (orig, inp)

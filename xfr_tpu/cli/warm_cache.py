@@ -81,12 +81,29 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
     step("wsebp ranking + scan sweep (B=%d)" % B, _ws)
 
     def _blend():
-        masks = np.zeros((4, 224, 224), bool)
-        masks[1:, 40:80, 40:80] = True
+        # the canonical 101-threshold monotone family -> the single-scan
+        # enter-count program keyed ("blend_encode_mono", 101, bs)
+        smap = rng.rand(224, 224)
+        smap /= smap.sum()
+        from xfr_tpu.inpainting_game import create_threshold_masks
+        masks = create_threshold_masks(
+            smap, "percent-density",
+            percentiles=np.unique(np.append(np.arange(0, 100, 1),
+                                            [0, 100])),
+            seed=0, include_zero_elements=False)
         wb.blend_embeddings(np.asarray(probes[0]), np.asarray(probes[1]),
                             masks)
 
-    step("eval blend+encode chunk", _blend)
+    step("eval blend+encode (mono scan, T=101)", _blend)
+
+    def _blend_bits():
+        # non-monotone fallback: the per-chunk bit-unpack program
+        masks = np.zeros((wb.batch_size, 224, 224), bool)
+        masks[::2, 40:80, 40:80] = True
+        wb.blend_embeddings(np.asarray(probes[0]), np.asarray(probes[1]),
+                            masks)
+
+    step("eval blend+encode chunk (bit-packed)", _blend_bits)
 
     if bb:
         from xfr_tpu.blackbox import STRise

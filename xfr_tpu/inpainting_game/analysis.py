@@ -24,7 +24,7 @@ import numpy as np
 import xfr_tpu
 from xfr_tpu import show
 from xfr_tpu import inpainting_game as inpaintgame
-from xfr_tpu.utils import cache_npz
+from xfr_tpu.utils import cache_npz, cache_npz_launch
 from xfr_tpu.utils.image import gaussian, resize
 
 # Facial regions by MASK_ID (reference: plot_inpainting_game.py:44-89).
@@ -404,7 +404,7 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                                         suffix_aggr=suffix_aggr):
                         continue
 
-                    def calc_twin_cls():
+                    def launch_twin_cls():
                         d = row.to_dict()
                         d["METHOD"] = method
                         d["SUFFIX_AGGR"] = suffix_aggr
@@ -422,8 +422,8 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                                                 saliency_map=smap)
                         smap = resize(smap, orig_imT.shape[1:], order=0)
                         smap = smap / smap.sum()
-                        cls, pg_dist, pr_dist = \
-                            inpaintgame.classified_as_inpainted_twin(
+                        return \
+                            inpaintgame.launch_classified_as_inpainted_twin(
                                 snet, orig_imT, inp_imT,
                                 original_gal_embed, inpaint_gal_embed, smap,
                                 mask_threshold_method=params[
@@ -433,7 +433,6 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                                 include_zero_elements=params[
                                     "include_zero_saliency"],
                                 mask_blur_sigma=params["mask_blur_sigma"])
-                        return cls, pg_dist, pr_dist
 
                     if params["threshold_type"] == "percent-density":
                         threshold_method_slug = "pct-density%d" % len(
@@ -495,9 +494,13 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                         return iou, fp, neg, tp, pos
 
                     try:
-                        cls_twin, pg_dist, pr_dist = cache_npz(
-                            cache_fn, calc_twin_cls, reprocess_=reprocess,
-                            cache_dir=cache_dir,
+                        # Launch the twin-cls device blend+encode first,
+                        # compute the (host, numpy) IoU pass while it
+                        # runs, then drain — the overlap hides the IoU
+                        # wall-clock behind the device encode.
+                        finish_twin_cls = cache_npz_launch(
+                            cache_fn, launch_twin_cls,
+                            reprocess_=reprocess, cache_dir=cache_dir,
                             save_dict_={
                                 "hgame_thresholds": hgame_thresholds,
                                 "hgame_percentile": hgame_percentile})
@@ -521,6 +524,7 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                                 save_dict_={
                                     "hgame_thresholds": hgame_thresholds,
                                     "hgame_percentile": hgame_percentile})
+                        cls_twin, pg_dist, pr_dist = finish_twin_cls()
                         # CLS_AS_NONMATE / Orig_Cls_Nonmate /
                         # Twin_Cls_Nonmate are NaN by design: the
                         # reference fills the same three columns with

@@ -63,6 +63,62 @@ def create_threshold_masks(saliency_map, threshold_method, percentiles=None,
     return masks
 
 
+def launch_classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
+                                        original_gal_embed,
+                                        inpaint_gal_embed,
+                                        saliency_map, mask_threshold_method,
+                                        include_zero_elements=True,
+                                        mask_blur_sigma=None,
+                                        percentiles=None, thresholds=None,
+                                        seed=None,
+                                        binary_classification=True):
+    """Launch/finish form of :func:`classified_as_inpainted_twin`: when the
+    device blend path is available the embed programs are enqueued and a
+    zero-argument ``finish()`` is returned, so the caller can overlap host
+    work (the IoU curve, the next unit's mask build) with the device
+    encode; otherwise the result is computed eagerly and ``finish()`` just
+    returns it."""
+    masks = create_threshold_masks(
+        saliency_map, threshold_method=mask_threshold_method,
+        percentiles=percentiles, thresholds=thresholds, seed=seed,
+        include_zero_elements=include_zero_elements,
+        blur_sigma=mask_blur_sigma)
+
+    if (masks.dtype == bool and original_imT.ndim == 3
+            and original_imT.shape[0] in (1, 3)
+            and hasattr(snet, "launch_blend_embeddings")):
+        # Device fast path: compact mask upload + on-device blend+encode
+        # (see Whitebox.launch_blend_embeddings).  Binary masks make the
+        # blend a per-pixel select, so embeddings are bit-identical to
+        # the host float64 blend path.
+        finish_embeds = snet.launch_blend_embeddings(
+            original_imT, inpaint_imT, masks, norm=True)
+
+        def finish():
+            blend_embeds = finish_embeds()
+            # same double-normalization sequence as the host path (the
+            # second divide is a float32 near-no-op but keeps paths
+            # identical)
+            blend_embeds = blend_embeds / np.linalg.norm(
+                blend_embeds, axis=1, keepdims=True)
+            pr_dist = np.linalg.norm(blend_embeds - original_gal_embed,
+                                     axis=1)
+            pg_dist = np.linalg.norm(blend_embeds - inpaint_gal_embed,
+                                     axis=1)
+            classified_as_twin = pg_dist < pr_dist
+            assert not classified_as_twin[0], (
+                "mask-0 blend (pure original) already classifies as the "
+                "twin")
+            return classified_as_twin, pg_dist, pr_dist
+
+        return finish
+
+    result = _host_classified_as_inpainted_twin(
+        snet, original_imT, inpaint_imT, original_gal_embed,
+        inpaint_gal_embed, masks)
+    return lambda: result
+
+
 def classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
                                  original_gal_embed, inpaint_gal_embed,
                                  saliency_map, mask_threshold_method,
@@ -77,33 +133,31 @@ def classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
     All blends embed in one batched call through snet.embeddings — the
     reference's per-probe hot loop (inpainting_game.py:127-134).
     """
+    if not return_transitions:
+        return launch_classified_as_inpainted_twin(
+            snet, original_imT, inpaint_imT, original_gal_embed,
+            inpaint_gal_embed, saliency_map, mask_threshold_method,
+            include_zero_elements=include_zero_elements,
+            mask_blur_sigma=mask_blur_sigma, percentiles=percentiles,
+            thresholds=thresholds, seed=seed,
+            binary_classification=binary_classification)()
+
     masks = create_threshold_masks(
         saliency_map, threshold_method=mask_threshold_method,
         percentiles=percentiles, thresholds=thresholds, seed=seed,
         include_zero_elements=include_zero_elements,
         blur_sigma=mask_blur_sigma)
+    return _host_classified_as_inpainted_twin(
+        snet, original_imT, inpaint_imT, original_gal_embed,
+        inpaint_gal_embed, masks, return_transitions=True)
 
-    if (masks.dtype == bool and original_imT.ndim == 3
-            and original_imT.shape[0] in (1, 3)
-            and hasattr(snet, "blend_embeddings")
-            and not return_transitions):
-        # Device fast path: bit-packed masks + on-device blend+encode
-        # (~0.6 MB uploaded instead of ~60 MB of blended images).  Binary
-        # masks make the blend a per-pixel select, so embeddings are
-        # bit-identical to the host float64 blend path below.
-        blend_embeds = snet.blend_embeddings(
-            original_imT, inpaint_imT, masks, norm=True)
-        # same double-normalization sequence as the host path below (the
-        # second divide is a float32 near-no-op but keeps paths identical)
-        blend_embeds = blend_embeds / np.linalg.norm(
-            blend_embeds, axis=1, keepdims=True)
-        pr_dist = np.linalg.norm(blend_embeds - original_gal_embed, axis=1)
-        pg_dist = np.linalg.norm(blend_embeds - inpaint_gal_embed, axis=1)
-        classified_as_twin = pg_dist < pr_dist
-        assert not classified_as_twin[0], (
-            "mask-0 blend (pure original) already classifies as the twin")
-        return classified_as_twin, pg_dist, pr_dist
 
+def _host_classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
+                                       original_gal_embed,
+                                       inpaint_gal_embed, masks,
+                                       return_transitions=False):
+    """Host blend path: float64 numpy blends + one batched embeddings call
+    (used for soft/blurred masks and nets without the device blend API)."""
     if original_imT.shape[0] == 1 or original_imT.shape[-1] != 3:
         rgb_masks = masks[:, np.newaxis, ...]  # CHW (1 or C broadcast)
     elif original_imT.shape[0] == 3 or original_imT.shape[-1] != 3:

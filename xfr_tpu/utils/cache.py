@@ -14,6 +14,38 @@ from pathlib import Path
 import numpy as np
 
 
+def _cache_path(fn, cache_dir):
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    return os.path.join(cache_dir, fn.replace("/", "_") + ".npz")
+
+
+def _cache_load(fpath, reprocess, save_dict):
+    """Load a valid cached result or raise IOError/KeyError."""
+    if reprocess:
+        raise IOError  # force reprocessing
+    npdata = np.load(fpath, allow_pickle=True)
+    if save_dict is not None:
+        for key, val in save_dict.items():
+            if not np.array_equal(npdata[key], val):
+                raise IOError  # stale cache: inputs changed
+    return npdata["arr_0"]
+
+
+def _cache_save(fpath, ret, save_dict):
+    save_dict = dict(save_dict or {})
+    # Ragged tuple results (e.g. (iou, fp, neg, tp, pos)) must be stored
+    # as object arrays, like legacy numpy did implicitly.  Convert BEFORE
+    # np.savez — a save that raises mid-write leaves a corrupt zip.
+    try:
+        save_dict["arr_0"] = np.asanyarray(ret)
+    except ValueError:
+        arr = np.empty(len(ret), dtype=object)
+        for i, v in enumerate(ret):
+            arr[i] = v
+        save_dict["arr_0"] = arr
+    np.savez(fpath, **save_dict)
+
+
 def cache_npz(fn, fun, cache_dir, *args, **kwargs):
     """Memoize ``fun(*args, **kwargs)`` into ``cache_dir/fn.npz``.
 
@@ -21,31 +53,35 @@ def cache_npz(fn, fun, cache_dir, *args, **kwargs):
       reprocess_: force recomputation.
       save_dict_: dict of arrays saved with (and validated against) the cache.
     """
-    Path(cache_dir).mkdir(parents=True, exist_ok=True)
-    fn = fn.replace("/", "_")
-    fpath = os.path.join(cache_dir, fn + ".npz")
+    fpath = _cache_path(fn, cache_dir)
     try:
-        if kwargs.get("reprocess_"):
-            raise IOError  # force reprocessing
-        npdata = np.load(fpath, allow_pickle=True)
-        if "save_dict_" in kwargs:
-            for key, val in kwargs["save_dict_"].items():
-                if not np.array_equal(npdata[key], val):
-                    raise IOError  # stale cache: inputs changed
-        return npdata["arr_0"]
+        return _cache_load(fpath, kwargs.get("reprocess_"),
+                           kwargs.get("save_dict_"))
     except (IOError, KeyError, FileNotFoundError):
         kwargs.pop("reprocess_", None)
-        save_dict = dict(kwargs.pop("save_dict_", {}))
+        save_dict = kwargs.pop("save_dict_", {})
         ret = fun(*args, **kwargs)
-        # Ragged tuple results (e.g. (iou, fp, neg, tp, pos)) must be stored
-        # as object arrays, like legacy numpy did implicitly.  Convert BEFORE
-        # np.savez — a save that raises mid-write leaves a corrupt zip.
-        try:
-            save_dict["arr_0"] = np.asanyarray(ret)
-        except ValueError:
-            arr = np.empty(len(ret), dtype=object)
-            for i, v in enumerate(ret):
-                arr[i] = v
-            save_dict["arr_0"] = arr
-        np.savez(fpath, **save_dict)
+        _cache_save(fpath, ret, save_dict)
         return ret
+
+
+def cache_npz_launch(fn, launch_fun, cache_dir, reprocess_=False,
+                     save_dict_=None):
+    """Launch/finish variant of :func:`cache_npz` for overlapping device
+    work with host work.  On a cache hit, returns a zero-arg finish that
+    yields the cached value immediately.  On a miss, calls
+    ``launch_fun()`` — which must return a zero-arg finish closure — NOW,
+    and returns a finish that drains it and writes the cache."""
+    fpath = _cache_path(fn, cache_dir)
+    try:
+        val = _cache_load(fpath, reprocess_, save_dict_)
+        return lambda: val
+    except (IOError, KeyError, FileNotFoundError):
+        inner = launch_fun()
+
+        def finish():
+            ret = inner()
+            _cache_save(fpath, ret, save_dict_)
+            return ret
+
+        return finish
