@@ -231,3 +231,44 @@ def test_launch_evaluate_matches_evaluate():
     st_f = STRise(**kw2)
     np.testing.assert_allclose(st_f.launch_evaluate()(),
                                st_e.saliency_map, rtol=1e-6)
+
+
+def test_scan_scorer_matches_chunked():
+    """The single-program scanned mask scorer (single-chip path) must
+    agree with the per-chunk fused scorer it replaced."""
+    import jax.numpy as jnp
+    from tests.fixtures import make_toy_wbnet
+
+    probe = np.full((224, 224, 3), 30, np.uint8)
+    probe[32:80, 32:80] = 220
+    gal = np.full((224, 224, 3), 30, np.uint8)
+    wb = make_toy_wbnet(num_classes=4, seed=0)
+    st = STRise(probe=probe, refs=[probe], gallery=[gal],
+                black_box="resnetv6_pytorch",
+                net_dict={("resnetv6_pytorch", 6): wb},
+                prior_type="uniform", num_masks=96, mask_scale=28,
+                num_mask_elements=1, mask_fill_type="gray", seed=5,
+                batch_size=32)
+    st.priors[st.prior_type]()
+    st.generate_masks()
+    st.apply_masks()
+    st.score_masks()  # scan path (mesh is None, 3 chunks in one scan)
+    assert ("strise_scan_scorer", wb.net.encode_tensor, 3, 32, None) \
+        in wb._jit_cache
+    scan_ref = np.array(st.masked_probe_ref_scores)
+    scan_gal = np.array(st.masked_probe_gallery_scores)
+
+    scorer = st._fused_scorer()
+    probe_d = jnp.asarray(st.probe, jnp.float32)
+    ref_e = jnp.asarray(st._embed_collection(wb, st.refs), jnp.float32)
+    gal_e = jnp.asarray(st._embed_collection(wb, [gal]), jnp.float32)
+    rs, gs = [], []
+    for i in range(0, 96, 32):
+        r, g = scorer(wb.net.params, st._masks_dev[i:i + 32], probe_d,
+                      st._fill_dev, ref_e, gal_e)
+        rs.append(np.asarray(r))
+        gs.append(np.asarray(g))
+    np.testing.assert_allclose(scan_ref, np.concatenate(rs), rtol=2e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(scan_gal, np.concatenate(gs), rtol=2e-6,
+                               atol=1e-6)

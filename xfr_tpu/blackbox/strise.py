@@ -60,10 +60,11 @@ class STRise:
                  use_gpu=True,
                  device=None,
                  seed=0,
-                 batch_size=256,
+                 batch_size=64,
                  net_dict=None,
                  use_pallas_blend=False,
-                 mesh=None):
+                 mesh=None,
+                 score_precision=None):
         self.priors = {"mean_ebp": self.mean_ebp_prior,
                        "uniform": self.uniform_prior}
         self.black_boxes = {"resnetv4_pytorch": self.resnet_bb_fn,
@@ -91,6 +92,18 @@ class STRise:
         # Pallas fused upsample+shift+blend+preprocess: skips materializing
         # the [N,H,W] float mask tensor in HBM (xfr_tpu/blackbox/pallas_blend)
         self.use_pallas_blend = use_pallas_blend
+        # Matmul precision of the mask-scoring encode.  None = the TPU
+        # default single-pass-bf16 matmuls (fastest; ~3e-4 score noise).
+        # On workloads where the mask-score SPREAD is comparable to that
+        # noise the selection of positively-scored masks becomes noise-
+        # driven: measured on the random-weight bench workload, both the
+        # chunked and scanned default-precision scorers produce maps at
+        # only 0.74 correlation with an f32 ('highest') reference, while
+        # 'high' (bf16_3x) reaches 0.999 rank overlap at ~2.2x the scan
+        # cost.  Real checkpoints have far larger spreads; pass
+        # score_precision='high' for reference-grade f32 ranking when it
+        # matters.
+        self.score_precision = score_precision
 
         # probe / refs (blackbox.py:163-176)
         if probe is not None and refs is not None:
@@ -316,9 +329,46 @@ class STRise:
 
             return score_chunk
 
-        # encode is MXU-bound and sum-robust: keep default precision
+        # default precision unless the user opts into f32-grade ranking
+        # (see score_precision in __init__)
         return wb._kernel(("strise_fused_scorer", enc), build,
-                          precision=None)
+                          precision=self.score_precision)
+
+    def _fused_scorer_scan(self, nchunk, bs):
+        """One-program mask scorer: lax.scan over [nchunk,bs,H,W] mask
+        chunks, each step blend -> preprocess -> encode -> similarity.
+
+        The chunked scorer costs one dispatch per chunk — ~0.5 s of
+        device-link dispatch overhead across a 6,500-mask map on axon
+        (measured 1.61 s -> 1.10 s/map by scanning all chunks in one
+        program; scores agree with the chunked program to f32 matmul
+        scheduling noise, ~3e-4 with default precision).  Shared across
+        STRise instances via the net kernel cache like _fused_scorer;
+        the key includes nchunk, so each distinct num_masks compiles
+        once."""
+        from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
+
+        wb = self.resnet_net
+        graph, enc = wb.net.graph, wb.net.encode_tensor
+
+        def build():
+            @jax.jit
+            def score_all(params, masks_c, probe, fill, ref_e, gal_e):
+                def body(carry, mchunk):
+                    blends = (mchunk[..., None] * probe +
+                              (1.0 - mchunk[..., None]) * fill)
+                    x = preprocess_resnet101_batch(blends)
+                    return carry, _encode_and_score(graph, enc, params, x,
+                                                    ref_e, gal_e)
+
+                _, (rs, gs) = jax.lax.scan(body, 0, masks_c)
+                return (rs.reshape(nchunk * bs, -1),
+                        gs.reshape(nchunk * bs, -1))
+
+            return score_all
+
+        return wb._kernel(("strise_scan_scorer", enc, nchunk, bs), build,
+                          precision=self.score_precision)
 
     def _fused_scorer_pallas(self):
         """Scorer chunk using the Pallas fused upsample+shift+blend+
@@ -346,7 +396,7 @@ class STRise:
             return score_chunk
 
         return wb._kernel(("strise_fused_scorer_pallas", enc, scale),
-                          build, precision=None)
+                          build, precision=self.score_precision)
 
     def _dp_put(self, a, axis=0):
         """Shard dim ``axis`` of ``a`` over the mesh 'dp' axis (identity
@@ -418,7 +468,19 @@ class STRise:
                     masks = jnp.concatenate(
                         [masks, jnp.zeros((pad,) + masks.shape[1:],
                                           masks.dtype)])
-            for i in range(0, n + pad, bs):
+                if self.mesh is None:
+                    # single-chip: all chunks in ONE scanned program
+                    # (saves one dispatch round trip per chunk; see
+                    # _fused_scorer_scan)
+                    nchunk = (n + pad) // bs
+                    rs, gs = self._fused_scorer_scan(nchunk, bs)(
+                        wb.net.params,
+                        masks.reshape(nchunk, bs, *masks.shape[1:]),
+                        probe, fill_d, ref_e_d, gal_e_d)
+                    ref_chunks.append(rs)
+                    gal_chunks.append(gs)
+
+            for i in (() if ref_chunks else range(0, n + pad, bs)):
                 if use_pallas:
                     rs, gs = scorer(wb.net.params,
                                     self._dp_put(grids[i:i + bs]),
