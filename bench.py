@@ -49,7 +49,11 @@ def bench_blackbox(wb, rng, n_maps=3, num_masks=6500):
     (map k's host post overlaps map k+1's device scoring queue)."""
     from xfr_tpu.blackbox import STRise
 
-    probe = (rng.rand(224, 224, 3) * 255).astype(np.uint8)
+    # distinct probe per map (like production generation: refs/gallery
+    # repeat across a job's probes — and hit the embed memo — but each
+    # probe is new)
+    probes = [(rng.rand(224, 224, 3) * 255).astype(np.uint8)
+              for _ in range(n_maps + 2)]
     refs = [(rng.rand(224, 224, 3) * 255).astype(np.uint8)
             for _ in range(2)]
     gals = [(rng.rand(224, 224, 3) * 255).astype(np.uint8)
@@ -59,7 +63,8 @@ def bench_blackbox(wb, rng, n_maps=3, num_masks=6500):
                 ("resnetv4_pytorch", None): wb}
 
     def launch(seed):
-        st = STRise(probe=probe, refs=refs, gallery=gals,
+        st = STRise(probe=probes[seed % len(probes)], refs=refs,
+                    gallery=gals,
                     black_box="resnetv6_pytorch", net_dict=net_dict,
                     mask_scale=12, num_mask_elements=2,
                     mask_fill_type="blur", blur_fill_sigma_percent=4,
@@ -119,7 +124,7 @@ def bench_eval(wb, rng, n_iters=8):
     gt = np.zeros((224, 224), bool)
     gt[60:120, 80:150] = True
 
-    def one(k):
+    def launch(k):
         orig, inp = pairs[k // 4 % 2]
         og, ig = gals[k // 4 % 2]
         smap = smaps[k % 4]
@@ -131,16 +136,22 @@ def bench_eval(wb, rng, n_iters=8):
         iou = ipg.intersect_over_union_thresholded_saliency(
             smap, gt, "percent-density", percentiles=percentiles,
             seed=7, include_zero_elements=False)
-        cls, pg, pr = finish()
-        return cls, iou
+        return finish, iou
 
-    cls, iou = one(0)  # warmup / compile
+    finish, iou = launch(0)  # warmup / compile
+    cls = finish()[0]
     assert len(cls) == len(percentiles) and np.isfinite(iou).all()
     wb._upload_memo.clear()  # first timed unit re-pays its upload
 
+    # one unit in flight, like run_inpaintinggame_analysis: unit k+1
+    # launches (and computes its host IoU) before unit k drains
     t0 = time.time()
-    for k in range(n_iters):
-        one(k)
+    pend = launch(0)[0]
+    for k in range(1, n_iters):
+        fin = launch(k)[0]
+        pend()
+        pend = fin
+    pend()
     dt = (time.time() - t0) / n_iters
     return 1.0 / dt
 

@@ -204,7 +204,16 @@ def test_launch_evaluate_matches_evaluate():
     np.testing.assert_array_equal(st_b.saliency_map, smap)
     np.testing.assert_allclose(smap, st_a.saliency_map, rtol=1e-6)
     np.testing.assert_allclose(st_b.mask_scores, st_a.mask_scores,
-                               rtol=1e-6)
+                               rtol=1e-6, atol=1e-7)
+    # the fused one-fetch finish must populate every score attribute
+    np.testing.assert_array_equal(st_b.masked_probe_ref_scores,
+                                  st_a.masked_probe_ref_scores)
+    np.testing.assert_array_equal(st_b.masked_probe_gallery_scores,
+                                  st_a.masked_probe_gallery_scores)
+    np.testing.assert_array_equal(st_b.original_probe_ref_scores,
+                                  st_a.original_probe_ref_scores)
+    np.testing.assert_array_equal(st_b.original_probe_gallery_scores,
+                                  st_a.original_probe_gallery_scores)
 
     # two launches in flight before either finishes (generation pipeline)
     st_c = STRise(**kwargs)
@@ -272,3 +281,42 @@ def test_scan_scorer_matches_chunked():
                                atol=1e-6)
     np.testing.assert_allclose(scan_gal, np.concatenate(gs), rtol=2e-6,
                                atol=1e-6)
+
+
+def test_embed_memo_reuses_collection_embeds():
+    """refs/gallery embeds are constant across the probes of a job:
+    the content-hash memo on the shared net must return identical
+    embeddings without recomputing, and a changed collection must miss."""
+    from tests.fixtures import make_toy_wbnet
+
+    probe = np.full((224, 224, 3), 40, np.uint8)
+    probe[50:90, 60:100] = 210
+    ref = np.full((224, 224, 3), 70, np.uint8)
+    ref[40:100, 50:110] = 190
+    gal = np.full((224, 224, 3), 25, np.uint8)
+    wb = make_toy_wbnet(num_classes=4, seed=1)
+    kw = dict(black_box="resnetv6_pytorch",
+              net_dict={("resnetv6_pytorch", 6): wb},
+              prior_type="uniform", num_masks=32, mask_scale=28,
+              num_mask_elements=1, mask_fill_type="gray", seed=3,
+              batch_size=32)
+
+    st1 = STRise(probe=probe, refs=[ref], gallery=[gal], **kw)
+    st1.evaluate()
+    memo = wb._bb_embed_memo
+    assert len(memo) == 3  # refs, gallery, [probe]
+    # a second instance over the same job: same memo entries, same scores
+    st2 = STRise(probe=probe, refs=[ref], gallery=[gal], **kw)
+    st2.evaluate()
+    assert len(wb._bb_embed_memo) == 3
+    np.testing.assert_array_equal(st1.mask_scores, st2.mask_scores)
+    np.testing.assert_allclose(np.asarray(st1.saliency_map),
+                               np.asarray(st2.saliency_map))
+    # memoized value is bitwise what _embed_collection computes
+    np.testing.assert_array_equal(
+        st2._embed_collection_memo(wb, [gal]),
+        st2._embed_collection(wb, [gal]))
+    # [gal] IS the memoized gallery collection (content-addressed);
+    # a genuinely new collection adds exactly one entry
+    st2._embed_collection_memo(wb, [probe, gal])
+    assert len(wb._bb_embed_memo) == 4  # +[probe, gal]

@@ -343,6 +343,37 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
     snet = None
     nonmate_cache_fns = set()
     classified_as_nonmate = []
+    # One probe-method unit stays in flight across loop iterations: unit
+    # k+1's twin-cls device programs are enqueued (and its host IoU pass
+    # computed) BEFORE unit k's encode is drained, so the device queue
+    # never idles on the per-unit host round trip.  Results are appended
+    # at drain time, preserving unit order.
+    pending_unit = [None]
+
+    def drain_pending():
+        ctx = pending_unit[0]
+        if ctx is None:
+            return
+        pending_unit[0] = None
+        try:
+            cls_twin, pg_dist, pr_dist = ctx["finish"]()
+        except IOError as e:
+            if not ctx["ignore_missing"]:
+                raise e
+            return
+        # CLS_AS_NONMATE / Orig_Cls_Nonmate / Twin_Cls_Nonmate are NaN
+        # by design: the reference fills the same three columns with
+        # np.nan (plot_inpainting_game.py:1170-1172); all downstream
+        # stats read CLS_AS_TWIN.
+        classified_as_nonmate.append(ctx["fields"] + (
+            np.nan, np.nan, np.nan, cls_twin, cls_twin[0], cls_twin[-1],
+            ctx["iou"], ctx["false_pos"], ctx["neg"], ctx["true_pos"],
+            ctx["pos"]))
+        if ctx["check_false_pos"] and ctx["false_pos"][-1] != ctx["neg"]:
+            raise RuntimeError(
+                "False positive value for last threshold should be the "
+                "number of negative elements (%d), but is %d."
+                % (ctx["neg"], ctx["false_pos"][-1]))
     for net_name in params["NET"]:
         base_net = get_base_net(net_name)
         subjs_net_inp = inpainting_v2_data.loc[
@@ -524,28 +555,26 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                                 save_dict_={
                                     "hgame_thresholds": hgame_thresholds,
                                     "hgame_percentile": hgame_percentile})
-                        cls_twin, pg_dist, pr_dist = finish_twin_cls()
-                        # CLS_AS_NONMATE / Orig_Cls_Nonmate /
-                        # Twin_Cls_Nonmate are NaN by design: the
-                        # reference fills the same three columns with
-                        # np.nan (plot_inpainting_game.py:1170-1172); all
-                        # downstream stats read CLS_AS_TWIN.
-                        classified_as_nonmate.append((
-                            net_name, method, row["ORIGINAL_BASENAME"],
-                            inp_fn, suffix_aggr, subject_id, mask_id,
-                            np.nan, np.nan, np.nan, cls_twin, cls_twin[0],
-                            cls_twin[-1], saliency_gt_iou, false_pos, neg,
-                            true_pos, pos))
-                        if params["include_zero_saliency"] and \
-                                false_pos[-1] != neg:
-                            raise RuntimeError(
-                                "False positive value for last threshold "
-                                "should be the number of negative elements "
-                                "(%d), but is %d." % (neg, false_pos[-1]))
                     except IOError as e:
                         if not params["ignore_missing_saliency_maps"]:
                             raise e
+                        continue
+                    # this unit is launched; drain the previous one while
+                    # this one's encode runs, then leave this one pending
+                    drain_pending()
+                    pending_unit[0] = {
+                        "finish": finish_twin_cls,
+                        "fields": (net_name, method,
+                                   row["ORIGINAL_BASENAME"], inp_fn,
+                                   suffix_aggr, subject_id, mask_id),
+                        "iou": saliency_gt_iou, "false_pos": false_pos,
+                        "neg": neg, "true_pos": true_pos, "pos": pos,
+                        "check_false_pos": params["include_zero_saliency"],
+                        "ignore_missing":
+                            params["ignore_missing_saliency_maps"],
+                    }
 
+    drain_pending()
     nonmate_classification = _to_dataframe(classified_as_nonmate)
     with open(os.path.join(cache_dir, "nonmate-cls.pkl"), "wb") as f:
         pickle.dump(nonmate_classification, f)
