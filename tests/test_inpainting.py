@@ -256,3 +256,78 @@ def test_launch_classified_matches_sync_and_memo_is_safe():
         for a, b in zip(sync, launched):
             np.testing.assert_array_equal(a, b)
     assert len(wb._upload_memo) == 4  # 2 pairs x (orig, inp)
+
+
+def test_iou_searchsorted_matches_mask_formulation():
+    """The sort+searchsorted IoU must produce the identical integers as
+    the direct [T,H,W] mask formulation for every threshold method and
+    zero-element mode (ties broken by the same seeded noise plane)."""
+    from xfr_tpu.inpainting_game.protocol import (
+        create_threshold_masks, intersect_over_union_thresholded_saliency)
+
+    rng = np.random.RandomState(3)
+    smap = rng.rand(63, 57)
+    smap[smap < 0.3] = 0.0  # real zeros for the exclude-zero mode
+    smap /= smap.sum()
+    gt = np.zeros((63, 57), bool)
+    gt[10:30, 12:40] = True
+    percentiles = np.unique(np.append(np.arange(0, 100, 7), [0, 100]))
+
+    for method in ("percent-density", "percentile"):
+        for inc0 in (True, False):
+            kw = dict(percentiles=percentiles, seed=11,
+                      include_zero_elements=inc0)
+            iou, fp, tp = intersect_over_union_thresholded_saliency(
+                smap, gt, method, return_fpos=True, return_tpos=True,
+                **kw)
+            masks = create_threshold_masks(smap, method, **kw)
+            inter = (gt[None] & masks).sum(axis=(1, 2))
+            union = (gt[None] | masks).sum(axis=(1, 2))
+            np.testing.assert_array_equal(tp, inter)
+            np.testing.assert_array_equal(
+                fp, (~gt[None] & masks).sum(axis=(1, 2)))
+            np.testing.assert_array_equal(iou, inter / (union + 1e-9))
+
+
+def test_counts_path_matches_mask_blend_path():
+    """launch_classified_as_inpainted_twin's searchsorted enter-count
+    plane must classify identically to the materialized-mask device
+    path (and the host float64 path, covered elsewhere)."""
+    import jax
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.inpainting_game.protocol import (
+        _threshold_plane, launch_classified_as_inpainted_twin)
+
+    wb = make_toy_wbnet(num_classes=4, seed=2)
+    rng = np.random.RandomState(5)
+    orig = rng.rand(3, 224, 224).astype(np.float32) * 50
+    inp = orig + rng.rand(3, 224, 224).astype(np.float32) * 30
+    smap = rng.rand(224, 224)
+    smap /= smap.sum()
+    percentiles = np.unique(np.append(np.arange(0, 100, 3), [0, 100]))
+
+    def embed(x):
+        e = np.asarray(wb.embeddings(x[None]))
+        return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+    og, ig = embed(orig), embed(inp)
+    fin = launch_classified_as_inpainted_twin(
+        wb, orig, inp, og, ig, smap,
+        mask_threshold_method="percent-density",
+        percentiles=percentiles, seed=7, include_zero_elements=False)
+    cls_counts, pg_c, pr_c = fin()
+
+    # force the materialized-mask device path via the bit-packed
+    # (non-mono declared) branch: same masks, chunked programs
+    plane, thr = _threshold_plane(
+        smap, "percent-density", percentiles=percentiles, seed=7,
+        include_zero_elements=False)
+    masks = plane[None] > thr[:, None, None]
+    fin2 = wb.launch_blend_embeddings(orig, inp, masks, norm=True)
+    e2 = fin2()
+    e2 = e2 / np.linalg.norm(e2, axis=1, keepdims=True)
+    pr2 = np.linalg.norm(e2 - og, axis=1)
+    pg2 = np.linalg.norm(e2 - ig, axis=1)
+    np.testing.assert_array_equal(pg_c, pg2)
+    np.testing.assert_array_equal(pr_c, pr2)
+    np.testing.assert_array_equal(cls_counts, pg2 < pr2)

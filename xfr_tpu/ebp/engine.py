@@ -1881,9 +1881,8 @@ class Whitebox:
                 and bool(np.all(masks[1:] >= masks[:-1])))
         if mono:
             counts = masks.sum(axis=0, dtype=np.uint8).reshape(-1)
-            bs_m = min(self.blend_batch, -(-T // bs) * bs)
-            fn = self._blend_encode_mono_fn(T, bs_m)
-            out = fn(self.net.params, orig, inp, jnp.asarray(counts))
+            return self.launch_blend_embeddings_counts(
+                orig_imT, inpaint_imT, counts, T, norm=norm)
         else:
             bits = np.packbits(masks.reshape(T, -1), axis=1)
             pad = (-T) % bs
@@ -1900,6 +1899,32 @@ class Whitebox:
                     b = self._shard_rows(b)
                 chunks.append(fn(self.net.params, orig, inp, b))
             out = jnp.concatenate(chunks)[:T]
+
+        def finish():
+            embeds = np.asarray(out)
+            if norm:
+                return embeds / np.linalg.norm(embeds, axis=1,
+                                               keepdims=True)
+            return embeds
+
+        return finish
+
+    def launch_blend_embeddings_counts(self, orig_imT, inpaint_imT,
+                                       counts, T, norm=True):
+        """Monotone-family fast path of :meth:`launch_blend_embeddings`
+        taking the [H*W] uint8 enter-count plane directly (counts[p] =
+        number of masks containing pixel p; mask t contains p iff
+        counts[p] >= T - t).  Callers that derive masks from a threshold
+        plane (inpainting-game eval) compute counts with one searchsorted
+        instead of materializing the [T,H,W] family."""
+        assert self.mesh is None and T <= 255
+        counts = np.ascontiguousarray(counts, np.uint8).reshape(-1)
+        bs = self.batch_size
+        orig = self._device_put_memo(np.asarray(orig_imT, np.float32))
+        inp = self._device_put_memo(np.asarray(inpaint_imT, np.float32))
+        bs_m = min(self.blend_batch, -(-T // bs) * bs)
+        fn = self._blend_encode_mono_fn(T, bs_m)
+        out = fn(self.net.params, orig, inp, jnp.asarray(counts))
 
         def finish():
             embeds = np.asarray(out)

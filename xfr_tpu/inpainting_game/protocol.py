@@ -12,16 +12,13 @@ from __future__ import annotations
 import numpy as np
 
 
-def create_threshold_masks(saliency_map, threshold_method, percentiles=None,
-                           thresholds=None, seed=None, max_noise=1e-9,
-                           include_zero_elements=True, blur_sigma=None):
-    """Saliency map -> [T,H,W] boolean (or blurred float) masks
-    (reference: inpainting_game.py:12-77).
-
-    percent-density: mask t covers the top percentiles[t]% of total saliency
-    *mass* (CDF), the protocol standard (run_inpainting_game_eval.py:124).
-    Tie-breaking noise is seeded numpy, matching the reference exactly.
-    """
+def _threshold_plane(saliency_map, threshold_method, percentiles=None,
+                     thresholds=None, seed=None, max_noise=1e-9,
+                     include_zero_elements=True):
+    """The scalar plane + thresholds whose ``plane > thr[t]`` comparisons
+    define the threshold-mask family (shared by mask materialization and
+    the count-based fast paths; tie-breaking noise is seeded numpy,
+    matching the reference exactly — inpainting_game.py:12-64)."""
     np.random.seed(seed)
     if include_zero_elements:
         nonzero_saliency = 1
@@ -47,6 +44,23 @@ def create_threshold_masks(saliency_map, threshold_method, percentiles=None,
             thresholds[0] = 1
         if percentiles[-1] == 100:
             thresholds[-1] = 0
+    return noisy, np.asarray(thresholds)
+
+
+def create_threshold_masks(saliency_map, threshold_method, percentiles=None,
+                           thresholds=None, seed=None, max_noise=1e-9,
+                           include_zero_elements=True, blur_sigma=None):
+    """Saliency map -> [T,H,W] boolean (or blurred float) masks
+    (reference: inpainting_game.py:12-77).
+
+    percent-density: mask t covers the top percentiles[t]% of total saliency
+    *mass* (CDF), the protocol standard (run_inpainting_game_eval.py:124).
+    Tie-breaking noise is seeded numpy, matching the reference exactly.
+    """
+    noisy, thresholds = _threshold_plane(
+        saliency_map, threshold_method, percentiles=percentiles,
+        thresholds=thresholds, seed=seed, max_noise=max_noise,
+        include_zero_elements=include_zero_elements)
 
     # everything greater than threshold is inpainted
     masks = noisy[np.newaxis, ...] > thresholds[:, np.newaxis, np.newaxis]
@@ -78,21 +92,44 @@ def launch_classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
     work (the IoU curve, the next unit's mask build) with the device
     encode; otherwise the result is computed eagerly and ``finish()`` just
     returns it."""
-    masks = create_threshold_masks(
-        saliency_map, threshold_method=mask_threshold_method,
-        percentiles=percentiles, thresholds=thresholds, seed=seed,
-        include_zero_elements=include_zero_elements,
-        blur_sigma=mask_blur_sigma)
+    binary = not (mask_blur_sigma is not None and mask_blur_sigma > 0)
+    device_ok = (binary and original_imT.ndim == 3
+                 and original_imT.shape[0] in (1, 3)
+                 and hasattr(snet, "launch_blend_embeddings"))
 
-    if (masks.dtype == bool and original_imT.ndim == 3
-            and original_imT.shape[0] in (1, 3)
-            and hasattr(snet, "launch_blend_embeddings")):
+    plane = thr = None
+    if device_ok:
+        plane, thr = _threshold_plane(
+            saliency_map, mask_threshold_method, percentiles=percentiles,
+            thresholds=thresholds, seed=seed,
+            include_zero_elements=include_zero_elements)
+    counts_ok = (device_ok and getattr(snet, "mesh", None) is None
+                 and hasattr(snet, "launch_blend_embeddings_counts")
+                 and len(thr) <= 255 and bool(np.all(np.diff(thr) <= 0)))
+    if not counts_ok:
+        masks = (plane[np.newaxis] > thr[:, np.newaxis, np.newaxis]) \
+            if plane is not None else create_threshold_masks(
+                saliency_map, threshold_method=mask_threshold_method,
+                percentiles=percentiles, thresholds=thresholds, seed=seed,
+                include_zero_elements=include_zero_elements,
+                blur_sigma=mask_blur_sigma)
+
+    if device_ok:
         # Device fast path: compact mask upload + on-device blend+encode
         # (see Whitebox.launch_blend_embeddings).  Binary masks make the
         # blend a per-pixel select, so embeddings are bit-identical to
-        # the host float64 blend path.
-        finish_embeds = snet.launch_blend_embeddings(
-            original_imT, inpaint_imT, masks, norm=True)
+        # the host float64 blend path.  Descending thresholds mean the
+        # family is monotone by construction, so the enter-count plane
+        # (#(thr_t < plane[p]), one searchsorted) replaces the [T,H,W]
+        # materialization entirely — same integers as masks.sum(0).
+        if counts_ok:
+            counts = np.searchsorted(np.sort(thr), plane.ravel(),
+                                     side="left").astype(np.uint8)
+            finish_embeds = snet.launch_blend_embeddings_counts(
+                original_imT, inpaint_imT, counts, len(thr), norm=True)
+        else:
+            finish_embeds = snet.launch_blend_embeddings(
+                original_imT, inpaint_imT, masks, norm=True)
 
         def finish():
             blend_embeds = finish_embeds()
@@ -191,22 +228,34 @@ def intersect_over_union_thresholded_saliency(
         thresholds=None, seed=None, include_zero_elements=True,
         return_fpos=False, return_tpos=False):
     """IoU of thresholded saliency vs the inpainting region
-    (reference: inpainting_game.py:149-197)."""
+    (reference: inpainting_game.py:149-197).
+
+    Computed without materializing the [T,H,W] mask family: every count
+    the mask formulation produces is a count of strict ``plane > thr``
+    comparisons, so ``sort + searchsorted`` yields the identical
+    integers (mask t = ``plane > thr[t]``; #(plane > thr) =
+    N - #(plane <= thr))."""
     ground_truth = ground_truth.astype(bool)
-    masks = create_threshold_masks(
-        saliency_map, threshold_method=mask_threshold_method,
-        percentiles=percentiles, thresholds=thresholds, seed=seed,
+    plane, thr = _threshold_plane(
+        saliency_map, mask_threshold_method, percentiles=percentiles,
+        thresholds=thresholds, seed=seed,
         include_zero_elements=include_zero_elements)
 
-    intersection = ground_truth[np.newaxis] & masks
-    union = ground_truth[np.newaxis] | masks
-    iou = intersection.sum(axis=(1, 2)) / (union.sum(axis=(1, 2)) + 1e-9)
+    flat = plane.ravel()
+    all_sorted = np.sort(flat)
+    gt_flat = ground_truth.ravel()
+    gt_sorted = np.sort(flat[gt_flat])
+    mask_cnt = flat.size - np.searchsorted(all_sorted, thr, side="right")
+    true_pos = gt_sorted.size - np.searchsorted(gt_sorted, thr,
+                                                side="right")
+    n_gt = gt_sorted.size
+    union = n_gt + mask_cnt - true_pos
+    iou = true_pos / (union + 1e-9)
     ret = (iou,)
     if return_fpos:
-        false_pos = np.invert(ground_truth[np.newaxis]) & masks
-        ret += (np.sum(false_pos, axis=(1, 2)),)
+        ret += (mask_cnt - true_pos,)
     if return_tpos:
-        ret += (np.sum(ground_truth[np.newaxis] & masks, axis=(1, 2)),)
+        ret += (true_pos,)
     return ret[0] if len(ret) == 1 else ret
 
 
