@@ -52,6 +52,13 @@ def main(argv=None):
                              "visible devices; off: single-device")
     parser.add_argument("--prior", dest="prior_type", default="mean_ebp",
                         choices=["mean_ebp", "uniform"])
+    parser.add_argument("--score-precision", default="default",
+                        choices=["default", "high", "highest"],
+                        help="matmul precision of the mask-scoring "
+                             "encode: 'default' = fastest TPU matmuls "
+                             "(~3e-4 score noise); 'high' = bf16_3x "
+                             "(f32-grade mask ranking at ~2.2x cost); "
+                             "'highest' = full f32")
     args = parser.parse_args(argv)
 
     from xfr_tpu.models import create_wbnet
@@ -94,7 +101,9 @@ def main(argv=None):
                 rise_scale=args.rise_scale, num_masks=args.num_masks,
                 prior_type=args.prior_type, data_dir=data_dir,
                 smaps_dir=args.saliency_dir, mesh=mesh,
-                pipeline=pipeline)
+                pipeline=pipeline,
+                score_precision=(None if args.score_precision == "default"
+                                 else args.score_precision))
         except Exception as e:
             print("Job failed: %r (%s)" % (job, e))
             failures.append((job, repr(e)))

@@ -245,7 +245,7 @@ def generate_wb_smaps(wb, net_name, img_base, subj_id, mask_id,
 def create_bbox(blackbox_fn, probe_im, mates, nonmates, rise_scale,
                 num_mask_elements, mask_fill_type, blur_sigma_percent,
                 device=None, num_masks=6500, seed=0,
-                prior_type="mean_ebp", mesh=None):
+                prior_type="mean_ebp", mesh=None, score_precision=None):
     """STRise closure for one probe (reference:
     generate_blackbox_saliency.py:48-73)."""
     def build():
@@ -258,7 +258,7 @@ def create_bbox(blackbox_fn, probe_im, mates, nonmates, rise_scale,
             mask_fill_type=mask_fill_type,
             blur_fill_sigma_percent=blur_sigma_percent,
             num_masks=num_masks, seed=seed, prior_type=prior_type,
-            mesh=mesh)
+            mesh=mesh, score_precision=score_precision)
         if isinstance(blackbox_fn, str):
             # builtin matcher name: the fused on-device scorer (embeds each
             # masked probe once for both galleries)
@@ -319,7 +319,7 @@ def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
                       subj_id, mask_id, ebp_ver, overwrite, device=None,
                       rise_scale=12, num_masks=6500, data_dir=None,
                       smaps_dir=None, prior_type="mean_ebp", mesh=None,
-                      pipeline=None):
+                      pipeline=None, score_precision=None):
     """Generate the blackbox RISE map for one (net, subject, image, mask)
     (reference: generate_blackbox_saliency.py:76-227).
 
@@ -374,7 +374,8 @@ def generate_bb_smaps(bb_score_fn, convert_from_numpy, net_name, img_base,
                     mask_fill_type=mask_fill_type,
                     blur_sigma_percent=blur_sigma_percent,
                     num_masks=num_masks, prior_type=prior_type,
-                    mesh=mesh).launch()
+                    mesh=mesh,
+                    score_precision=score_precision).launch()
 
                 def _write(finish=finish, fn=fn, output_dir=output_dir,
                            probe_im=probe_im, mask_im=mask_im,
