@@ -320,3 +320,39 @@ def test_embed_memo_reuses_collection_embeds():
     # a genuinely new collection adds exactly one entry
     st2._embed_collection_memo(wb, [probe, gal])
     assert len(wb._bb_embed_memo) == 4  # +[probe, gal]
+
+
+def test_score_precision_high_path():
+    """STRise(score_precision='high') (reference-grade f32 ranking,
+    CLI --score-precision high) must compile its own kernel-cache entry
+    and produce scores matching the default path on CPU (where matmul
+    precision is a no-op, the two programs are numerically equivalent)."""
+    from tests.fixtures import make_toy_wbnet
+
+    probe = np.full((224, 224, 3), 40, np.uint8)
+    probe[60:120, 60:120] = 210
+    gal = np.full((224, 224, 3), 25, np.uint8)
+    wb = make_toy_wbnet(num_classes=4, seed=2)
+    kw = dict(probe=probe, refs=[probe], gallery=[gal],
+              black_box="resnetv6_pytorch",
+              net_dict={("resnetv6_pytorch", 6): wb},
+              prior_type="uniform", num_masks=64, mask_scale=28,
+              num_mask_elements=1, mask_fill_type="gray", seed=9,
+              batch_size=32)
+
+    st_def = STRise(**kw)
+    st_def.evaluate()
+    st_hi = STRise(score_precision="high", **kw)
+    assert st_hi.score_precision == "high"
+    st_hi.evaluate()
+
+    # distinct cached programs: the precision lands in the kernel key
+    keys = [k for k in wb._jit_cache
+            if k[0] == "strise_scan_scorer"]
+    assert {k[-1] for k in keys} == {None, "high"}
+
+    assert np.isfinite(st_hi.mask_scores).all()
+    assert np.isfinite(np.asarray(st_hi.saliency_map)).all()
+    np.testing.assert_allclose(np.asarray(st_hi.mask_scores),
+                               np.asarray(st_def.mask_scores),
+                               rtol=1e-5, atol=1e-6)

@@ -101,6 +101,62 @@ def main():
     print(f"pmate keep-all+gather  {dt*1000:7.1f} ms")
 
     @jax.jit
+    def pmate_masked(params, x, idxs):
+        # Candidate replacement for the 377 tiny take_along_axis ops:
+        # extract each event's value as sum(P * (iota == idx)) — an
+        # elementwise compare+select+reduce XLA can fuse into the walk
+        # (bit-exact: sums one element and N-1 zeros).
+        values = I.forward_clean(graph, params, x)
+        posvals = I.forward_positive(graph, params, values,
+                                     with_bias=wbias)
+        y = values[graph.output_id]
+        ii = jnp.arange(B)
+        cot_m = jnp.zeros_like(y).at[ii, 2 * ii].set(1.0)
+        P_mate = I.ebp_backward(
+            graph, params, values, posvals, cot_m, subtree_mode=mode,
+            eps=eps, with_bias=wbias, keep=tuple(range(n_ev - 1)))
+        vals = []
+        for k in range(n_ev - 1):
+            flat = P_mate[k].reshape(B, -1)
+            hit = jnp.arange(flat.shape[1])[None, :] == idxs[:, k][:, None]
+            vals.append(jnp.sum(jnp.where(hit, flat, 0.0), axis=1))
+        return jnp.stack(vals, 1)
+
+    dt = timed(pmate_masked, wb.net.params, probes, idxs)
+    print(f"pmate keep-all+masked  {dt*1000:7.1f} ms")
+
+    @jax.jit
+    def pmate_grouped(params, x, idxs):
+        # Candidate 2: group events by flattened size, stack each group
+        # into [B, G, N], one take_along_axis per group (~#groups ops +
+        # one full copy of the keep-all footprint).
+        values = I.forward_clean(graph, params, x)
+        posvals = I.forward_positive(graph, params, values,
+                                     with_bias=wbias)
+        y = values[graph.output_id]
+        ii = jnp.arange(B)
+        cot_m = jnp.zeros_like(y).at[ii, 2 * ii].set(1.0)
+        P_mate = I.ebp_backward(
+            graph, params, values, posvals, cot_m, subtree_mode=mode,
+            eps=eps, with_bias=wbias, keep=tuple(range(n_ev - 1)))
+        groups = {}
+        for k in range(n_ev - 1):
+            flat = P_mate[k].reshape(B, -1)
+            groups.setdefault(flat.shape[1], []).append((k, flat))
+        vals = [None] * (n_ev - 1)
+        for sz, members in groups.items():
+            ks = [k for k, _ in members]
+            stk = jnp.stack([f for _, f in members], axis=1)  # [B, G, N]
+            ix = idxs[:, jnp.asarray(ks)][:, :, None]          # [B, G, 1]
+            got = jnp.take_along_axis(stk, ix, axis=2)[:, :, 0]
+            for j, k in enumerate(ks):
+                vals[k] = got[:, j]
+        return jnp.stack(vals, 1)
+
+    dt = timed(pmate_grouped, wb.net.params, probes, idxs)
+    print(f"pmate keep-all+grouped {dt*1000:7.1f} ms")
+
+    @jax.jit
     def pmate_k1(params, x):
         values = I.forward_clean(graph, params, x)
         posvals = I.forward_positive(graph, params, values,
