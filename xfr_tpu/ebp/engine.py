@@ -1456,10 +1456,19 @@ class Whitebox:
             P_mate = I.ebp_backward(
                 graph, params, values, posvals, cot_m, subtree_mode=mode,
                 eps=eps, with_bias=wb, keep=tuple(range(n_ev - 1)))
-            vals = [jnp.take_along_axis(
-                        P_mate[k].reshape(B, -1), idxs[k][:, None],
-                        axis=1)[:, 0]
-                    for k in range(n_ev - 1)]
+            # extract each event's selected element as
+            # sum(P * (iota == idx)): an elementwise compare+select+reduce
+            # XLA fuses into the backward walk, vs ~n_ev tiny
+            # take_along_axis ops whose per-op overhead dominates
+            # (tools/_rank_pass_ab.py: 66.2 -> 43.4 ms for the P_mate
+            # stage).  Bit-exact: the reduce sums one element and N-1
+            # zeros.
+            vals = []
+            for k in range(n_ev - 1):
+                flat = P_mate[k].reshape(B, -1)
+                hit = (jnp.arange(flat.shape[1])[None, :]
+                       == idxs[k][:, None])
+                vals.append(jnp.sum(jnp.where(hit, flat, 0.0), axis=1))
             # [B, n_ev-1] each
             return (jnp.stack(scores, 1), jnp.stack(idxs, 1),
                     jnp.stack(vals, 1))
