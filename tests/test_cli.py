@@ -314,3 +314,9 @@ def test_warm_cache_smoke():
     assert any("blend" in n for n in names)
     assert any("blackbox" in n for n in names)
     assert all(dt >= 0 for _, dt in steps)
+    # the eval/BB steps must warm the PRODUCTION program signatures: the
+    # classifier shape is part of every program's signature (and hence
+    # its persistent-cache key) even for encode-only programs, so the
+    # wsebp step's [2B,D] triplet classifier must have been reset before
+    # the blend/blackbox steps traced
+    assert wb.net.num_classes() == 6

@@ -323,6 +323,26 @@ class STRise:
                 jnp.asarray(np.stack(images), jnp.float32))
         return wb.embeddings(images)
 
+    @staticmethod
+    def _embed_memo_lookup(wb, arr):
+        """The shared-net embedding memo's (memo, key, hit) triple for a
+        stacked [N,H,W,3] image array.  One key recipe for both the
+        collection path and the probe launch path — they MUST stay
+        bit-compatible since both read/write ``wb._bb_embed_memo``.
+
+        Params are replaced wholesale (never mutated) on reload, so
+        object identity is a sound freshness check for a hit."""
+        from xfr_tpu.utils.cache import content_key
+
+        memo = getattr(wb, "_bb_embed_memo", None)
+        if memo is None:
+            memo = wb._bb_embed_memo = {}
+        key = content_key(arr)
+        hit = memo.get(key)
+        if hit is not None and hit[0] is not wb.net.params:
+            hit = None
+        return memo, key, hit
+
     def _embed_collection_memo(self, wb, images):
         """_embed_collection with a content-hash memo on the shared net.
 
@@ -334,7 +354,7 @@ class STRise:
         kernel cache so all STRise instances sharing a net benefit.  Only
         plain ndarray collections are memoized (DataFrames/paths fall
         through to the uncached path)."""
-        import hashlib
+        from xfr_tpu.utils.cache import memo_put
 
         if isinstance(images, (list, tuple)) and len(images) and \
                 isinstance(images[0], np.ndarray):
@@ -343,20 +363,11 @@ class STRise:
             arr = images
         else:
             return self._embed_collection(wb, images)
-        memo = getattr(wb, "_bb_embed_memo", None)
-        if memo is None:
-            memo = wb._bb_embed_memo = {}
-        # params are replaced wholesale (never mutated) on reload, so
-        # object identity is a sound freshness check for the memo entry
-        key = (arr.shape, str(arr.dtype),
-               hashlib.blake2b(arr.tobytes(), digest_size=16).digest())
-        hit = memo.get(key)
-        if hit is not None and hit[0] is wb.net.params:
+        memo, key, hit = self._embed_memo_lookup(wb, arr)
+        if hit is not None:
             return hit[1]
         e = self._embed_collection(wb, images)
-        if len(memo) >= 16:
-            memo.clear()
-        memo[key] = (wb.net.params, e)
+        memo_put(memo, key, (wb.net.params, e))
         return e
 
     def _launch_probe_embed(self, wb):
@@ -367,19 +378,16 @@ class STRise:
         normalized when it came from the content memo — downstream
         kernels always re-normalize, which is idempotent), and
         ``fetch()`` produces the normalized host embedding, inserting it
-        into the memo (bitwise what ``_embed_collection(wb, [probe])``
-        returns: same padded encode program, same host normalization)."""
-        import hashlib
+        into the memo under ``_embed_memo_lookup``'s key (bitwise what
+        ``_embed_collection(wb, [probe])`` returns: the same pad-to-bs
+        encode program — embeddings() pads a batch of 1 identically —
+        and the same host normalization)."""
         from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
+        from xfr_tpu.utils.cache import memo_put
 
         arr = np.stack([np.asarray(self.probe)])
-        memo = getattr(wb, "_bb_embed_memo", None)
-        if memo is None:
-            memo = wb._bb_embed_memo = {}
-        key = (arr.shape, str(arr.dtype),
-               hashlib.blake2b(arr.tobytes(), digest_size=16).digest())
-        hit = memo.get(key)
-        if hit is not None and hit[0] is wb.net.params:
+        memo, key, hit = self._embed_memo_lookup(wb, arr)
+        if hit is not None:
             e = hit[1].reshape(1, -1)
             return jnp.asarray(e, jnp.float32), (lambda: hit[1])
         x = preprocess_resnet101_batch(jnp.asarray(arr, jnp.float32))
@@ -395,9 +403,7 @@ class STRise:
             flat = e.reshape(1, -1)
             e = (flat / np.linalg.norm(flat, axis=1, keepdims=True)
                  ).reshape(e.shape)
-            if len(memo) >= 16:
-                memo.clear()
-            memo[key] = (wb.net.params, e)
+            memo_put(memo, key, (wb.net.params, e))
             return e
 
         return pe_kernel, fetch

@@ -82,7 +82,13 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
 
     def _blend():
         # the canonical 101-threshold monotone family -> the single-scan
-        # enter-count program keyed ("blend_encode_mono", 101, bs)
+        # enter-count program keyed ("blend_encode_mono", 101, bs).
+        # Production eval/BB nets carry the full classifier, and the
+        # classifier shape is part of the program signature (hence the
+        # persistent-cache key) even though encode-only programs DCE it —
+        # so restore it after _ws's [2B,D] triplet classifier or this
+        # warms the wrong variants.
+        wb.net.reset_classifier()
         smap = rng.rand(224, 224)
         smap /= smap.sum()
         from xfr_tpu.inpainting_game import create_threshold_masks
@@ -116,6 +122,9 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
                 for _ in range(2)]
 
         def _bb():
+            # same signature argument as _blend: production BB nets have
+            # the full classifier (mean_ebp_prior's Pn is [1, n_classes])
+            wb.net.reset_classifier()
             st = STRise(probe=probe_im, refs=refs, gallery=gals,
                         black_box=net_name,
                         net_dict={(net_name, 6): wb,
