@@ -87,13 +87,13 @@ def bench_blackbox(wb, rng, n_maps=3, num_masks=6500):
     return 1.0 / dt
 
 
-def bench_eval(wb, rng, n_iters=8):
+def bench_eval(wb, rng, n_groups=6):
     """Sustained probe-method eval rate: percent-density threshold sweep
     (101 blends + twin classification) + IoU curve, exactly the analysis
-    stage's per-unit work AND overlap (analysis.py:407-525: launch the
-    twin-cls device blend+encode, compute the host IoU curve while it
-    runs, drain).  Units cycle 2 probe pairs x 4 saliency maps, matching
-    the production 4-methods-per-probe upload reuse."""
+    stage's per-unit work AND overlap: all 4 method maps of a probe batch
+    into ONE multi-map blend+encode program (TwinClsBatch), the host IoU
+    curves compute while it runs, and one probe group stays in flight
+    (analysis.py run_inpaintinggame_analysis)."""
     from xfr_tpu.inpainting_game import protocol as ipg
 
     percentiles = np.unique(np.sort(np.append(np.arange(0, 100, 1),
@@ -124,35 +124,42 @@ def bench_eval(wb, rng, n_iters=8):
     gt = np.zeros((224, 224), bool)
     gt[60:120, 80:150] = True
 
-    def launch(k):
-        orig, inp = pairs[k // 4 % 2]
-        og, ig = gals[k // 4 % 2]
-        smap = smaps[k % 4]
-        finish = ipg.launch_classified_as_inpainted_twin(
-            wb, orig, inp, og, ig, smap,
-            mask_threshold_method="percent-density",
-            percentiles=percentiles, seed=7,
-            include_zero_elements=False)
-        iou = ipg.intersect_over_union_thresholded_saliency(
-            smap, gt, "percent-density", percentiles=percentiles,
-            seed=7, include_zero_elements=False)
-        return finish, iou
+    kw = dict(mask_threshold_method="percent-density",
+              percentiles=percentiles, seed=7,
+              include_zero_elements=False)
 
-    finish, iou = launch(0)  # warmup / compile
-    cls = finish()[0]
-    assert len(cls) == len(percentiles) and np.isfinite(iou).all()
-    wb._upload_memo.clear()  # first timed unit re-pays its upload
+    def launch_group(p):
+        orig, inp = pairs[p % 2]
+        og, ig = gals[p % 2]
+        batch = ipg.TwinClsBatch(wb, orig, inp, og, ig, **kw)
+        fins = []
+        for smap in smaps:
+            fin_cls = batch.launch(smap)
+            iou = ipg.intersect_over_union_thresholded_saliency(
+                smap, gt, "percent-density", percentiles=percentiles,
+                seed=7, include_zero_elements=False)
+            assert np.isfinite(iou).all()
+            fins.append(fin_cls)
+        batch.flush()
+        return fins
 
-    # one unit in flight, like run_inpaintinggame_analysis: unit k+1
-    # launches (and computes its host IoU) before unit k drains
+    cls = [f()[0] for f in launch_group(0)]  # warmup / compile
+    assert all(len(c) == len(percentiles) for c in cls)
+    wb._upload_memo.clear()  # first timed group re-pays its upload
+
+    # one probe group in flight, like run_inpaintinggame_analysis:
+    # group p+1 launches (and computes its host IoU curves) before
+    # group p drains
     t0 = time.time()
-    pend = launch(0)[0]
-    for k in range(1, n_iters):
-        fin = launch(k)[0]
-        pend()
-        pend = fin
-    pend()
-    dt = (time.time() - t0) / n_iters
+    pend = launch_group(0)
+    for p in range(1, n_groups):
+        nxt = launch_group(p)
+        for f in pend:
+            f()
+        pend = nxt
+    for f in pend:
+        f()
+    dt = (time.time() - t0) / (4 * n_groups)
     return 1.0 / dt
 
 

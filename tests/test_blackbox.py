@@ -202,6 +202,12 @@ def test_launch_evaluate_matches_evaluate():
     finish = st_b.launch_evaluate()
     smap = finish()
     np.testing.assert_array_equal(st_b.saliency_map, smap)
+    # public result fields must be WRITABLE numpy (not read-only
+    # device_get views): create_save_smap and reference-style callers
+    # normalize maps in place
+    assert st_b.saliency_map.flags.writeable
+    assert st_b.mask_scores.flags.writeable
+    assert st_b.masked_probe_ref_scores.flags.writeable
     np.testing.assert_allclose(smap, st_a.saliency_map, rtol=1e-6)
     np.testing.assert_allclose(st_b.mask_scores, st_a.mask_scores,
                                rtol=1e-6, atol=1e-7)

@@ -331,3 +331,48 @@ def test_counts_path_matches_mask_blend_path():
     np.testing.assert_array_equal(pg_c, pg2)
     np.testing.assert_array_equal(pr_c, pr2)
     np.testing.assert_array_equal(cls_counts, pg2 < pr2)
+
+
+def test_twin_cls_batch_matches_single_units():
+    """TwinClsBatch (one multi-map scanned program per probe) must return
+    exactly what per-map launch_classified_as_inpainted_twin returns —
+    each scan step's [bs,...] encode batch is identical to the
+    single-map program's."""
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.inpainting_game.protocol import (
+        TwinClsBatch, launch_classified_as_inpainted_twin)
+
+    wb = make_toy_wbnet(num_classes=4, seed=2)
+    rng = np.random.RandomState(11)
+    orig = rng.rand(3, 224, 224).astype(np.float32) * 50
+    inp = orig + rng.rand(3, 224, 224).astype(np.float32) * 30
+    smaps = []
+    for _ in range(3):
+        s = rng.rand(224, 224)
+        s /= s.sum()
+        smaps.append(s)
+    percentiles = np.unique(np.append(np.arange(0, 100, 4), [0, 100]))
+
+    def embed(x):
+        e = np.asarray(wb.embeddings(x[None]))
+        return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+    og, ig = embed(orig), embed(inp)
+    kw = dict(mask_threshold_method="percent-density",
+              percentiles=percentiles, seed=7,
+              include_zero_elements=False)
+
+    batch = TwinClsBatch(wb, orig, inp, og, ig, **kw)
+    fins = [batch.launch(s) for s in smaps]
+    batch.flush()
+    multi = [f() for f in fins]
+    # post-flush launches transparently fall back to the single path
+    extra = batch.launch(smaps[0])()
+
+    for s, (cls_m, pg_m, pr_m) in zip(smaps, multi):
+        cls_s, pg_s, pr_s = launch_classified_as_inpainted_twin(
+            wb, orig, inp, og, ig, s, **kw)()
+        np.testing.assert_array_equal(cls_m, cls_s)
+        np.testing.assert_allclose(pg_m, pg_s, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(pr_m, pr_s, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(extra[0], multi[0][0])

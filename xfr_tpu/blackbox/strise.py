@@ -650,16 +650,21 @@ class STRise:
                         def fused_finish():
                             cts, npos, smap, rs_h, gs_h = jax.device_get(
                                 (cts_d, npos_d, smap_d, rs, gs))
+                            # np.array (not asarray): device_get views are
+                            # read-only, but these are public result
+                            # fields that callers mutate in place
+                            # (create_save_smap normalizes the map
+                            # in-place, like the reference's numpy maps)
                             self.masked_probe_ref_scores = \
-                                np.asarray(rs_h)[:n]
+                                np.array(rs_h)[:n]
                             self.masked_probe_gallery_scores = \
-                                np.asarray(gs_h)[:n]
+                                np.array(gs_h)[:n]
                             pe = probe_fetch()
                             self.original_probe_ref_scores = \
                                 _l2_similarity(pe, ref_e)
                             self.original_probe_gallery_scores = \
                                 _l2_similarity(pe, gal_e)
-                            self.mask_scores = np.asarray(cts)
+                            self.mask_scores = np.array(cts)
                             if npos == 0:
                                 raise ValueError(
                                     "no positively-scored masks: the "
@@ -667,7 +672,7 @@ class STRise:
                                     "refs and gallery (are they the same "
                                     "images?) — cannot form a saliency "
                                     "map")
-                            self.saliency_map = np.asarray(smap)
+                            self.saliency_map = np.array(smap)
 
                         self._fused_finish = fused_finish
 

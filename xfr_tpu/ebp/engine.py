@@ -1845,6 +1845,46 @@ class Whitebox:
         return self._kernel(("blend_encode_mono", T, bs), lambda: fn,
                             precision=None)
 
+    def _blend_encode_mono_multi_fn(self, M, T, bs):
+        """Multi-map variant of :meth:`_blend_encode_mono_fn`: M monotone
+        threshold-mask families over the SAME probe/twin pair (the
+        inpainting-game analysis evaluates every saliency method of a
+        probe against one image pair — analysis.py per-probe method loop;
+        reference plot_inpainting_game.py:1125-1161) blended+encoded under
+        ONE lax.scan program of M*ceil(T/bs) steps.
+
+        Each step's [bs,3,H,W] blend+encode batch is identical to the
+        single-map program's, so per-map results match the single path;
+        batching maps amortizes the per-program dispatch/pipeline-startup
+        cost that dominates a lone ~100-row unit on the remote device
+        link."""
+        graph, enc = self.net.graph, self.net.encode_tensor
+        nchunk = -(-T // bs)
+
+        @jax.jit
+        def fn(params, orig, inp, counts):
+            H, W = orig.shape[-2], orig.shape[-1]
+            c_all = counts.astype(jnp.int32)  # [M, H*W]
+
+            def body(carry, mt):
+                m, t0 = mt
+                c = jax.lax.dynamic_index_in_dim(c_all, m, axis=0)  # [1,HW]
+                t = t0 + jnp.arange(bs, dtype=jnp.int32)[:, None]
+                mk = ((t < T) & (c >= T - t)).astype(orig.dtype)
+                blends = ((1.0 - mk.reshape(bs, 1, H, W)) * orig[None] +
+                          mk.reshape(bs, 1, H, W) * inp[None])
+                e = I.forward_clean(graph, params, blends)[enc]
+                return carry, e.reshape(bs, -1)
+
+            ms = jnp.repeat(jnp.arange(M, dtype=jnp.int32), nchunk)
+            t0s = jnp.tile(jnp.arange(0, nchunk * bs, bs, dtype=jnp.int32),
+                           M)
+            _, es = jax.lax.scan(body, 0, (ms, t0s))
+            return es.reshape(M, nchunk * bs, -1)[:, :T]
+
+        return self._kernel(("blend_encode_mono_multi", M, T, bs),
+                            lambda: fn, precision=None)
+
     def _device_put_memo(self, arr):
         """Upload a host array once per content: a small content-hash memo
         returns the live device buffer for repeated uploads (content key
@@ -1936,6 +1976,32 @@ class Whitebox:
             if norm:
                 return embeds / np.linalg.norm(embeds, axis=1,
                                                keepdims=True)
+            return embeds
+
+        return finish
+
+    def launch_blend_embeddings_counts_multi(self, orig_imT, inpaint_imT,
+                                             counts_mat, T, norm=True):
+        """Batch M monotone mask families over one probe/twin pair into a
+        single scanned blend+encode program (``counts_mat``: [M, H*W]
+        uint8 enter-count planes).  ``finish()`` returns [M, T, D]
+        embeddings.  The inpainting-game analysis uses this to evaluate
+        all of a probe's saliency methods in one device program."""
+        counts_mat = np.ascontiguousarray(counts_mat, np.uint8)
+        assert self.mesh is None and T <= 255 and counts_mat.ndim == 2
+        M = counts_mat.shape[0]
+        bs = self.batch_size
+        orig = self._device_put_memo(np.asarray(orig_imT, np.float32))
+        inp = self._device_put_memo(np.asarray(inpaint_imT, np.float32))
+        bs_m = min(self.blend_batch, -(-T // bs) * bs)
+        fn = self._blend_encode_mono_multi_fn(M, T, bs_m)
+        out = fn(self.net.params, orig, inp, jnp.asarray(counts_mat))
+
+        def finish():
+            embeds = np.asarray(out)
+            if norm:
+                embeds = embeds / np.linalg.norm(embeds, axis=2,
+                                                 keepdims=True)
             return embeds
 
         return finish

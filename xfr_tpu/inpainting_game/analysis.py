@@ -343,37 +343,37 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
     snet = None
     nonmate_cache_fns = set()
     classified_as_nonmate = []
-    # One probe-method unit stays in flight across loop iterations: unit
-    # k+1's twin-cls device programs are enqueued (and its host IoU pass
-    # computed) BEFORE unit k's encode is drained, so the device queue
-    # never idles on the per-unit host round trip.  Results are appended
-    # at drain time, preserving unit order.
-    pending_unit = [None]
+    # One PROBE GROUP (all of a probe's method units, batched into one
+    # multi-map device program via TwinClsBatch) stays in flight across
+    # loop iterations: group k+1's twin-cls programs are enqueued (and
+    # its host IoU passes computed) BEFORE group k's encode is drained,
+    # so the device queue never idles on the per-unit host round trip.
+    # Results are appended at drain time, preserving unit order.
+    pending_units = [[]]
 
     def drain_pending():
-        ctx = pending_unit[0]
-        if ctx is None:
-            return
-        pending_unit[0] = None
-        try:
-            cls_twin, pg_dist, pr_dist = ctx["finish"]()
-        except IOError as e:
-            if not ctx["ignore_missing"]:
-                raise e
-            return
-        # CLS_AS_NONMATE / Orig_Cls_Nonmate / Twin_Cls_Nonmate are NaN
-        # by design: the reference fills the same three columns with
-        # np.nan (plot_inpainting_game.py:1170-1172); all downstream
-        # stats read CLS_AS_TWIN.
-        classified_as_nonmate.append(ctx["fields"] + (
-            np.nan, np.nan, np.nan, cls_twin, cls_twin[0], cls_twin[-1],
-            ctx["iou"], ctx["false_pos"], ctx["neg"], ctx["true_pos"],
-            ctx["pos"]))
-        if ctx["check_false_pos"] and ctx["false_pos"][-1] != ctx["neg"]:
-            raise RuntimeError(
-                "False positive value for last threshold should be the "
-                "number of negative elements (%d), but is %d."
-                % (ctx["neg"], ctx["false_pos"][-1]))
+        group, pending_units[0] = pending_units[0], []
+        for ctx in group:
+            try:
+                cls_twin, pg_dist, pr_dist = ctx["finish"]()
+            except IOError as e:
+                if not ctx["ignore_missing"]:
+                    raise e
+                continue
+            # CLS_AS_NONMATE / Orig_Cls_Nonmate / Twin_Cls_Nonmate are
+            # NaN by design: the reference fills the same three columns
+            # with np.nan (plot_inpainting_game.py:1170-1172); all
+            # downstream stats read CLS_AS_TWIN.
+            classified_as_nonmate.append(ctx["fields"] + (
+                np.nan, np.nan, np.nan, cls_twin, cls_twin[0],
+                cls_twin[-1],
+                ctx["iou"], ctx["false_pos"], ctx["neg"], ctx["true_pos"],
+                ctx["pos"]))
+            if ctx["check_false_pos"] and ctx["false_pos"][-1] != ctx["neg"]:
+                raise RuntimeError(
+                    "False positive value for last threshold should be "
+                    "the number of negative elements (%d), but is %d."
+                    % (ctx["neg"], ctx["false_pos"][-1]))
     for net_name in params["NET"]:
         base_net = get_base_net(net_name)
         subjs_net_inp = inpainting_v2_data.loc[
@@ -429,6 +429,19 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                 orig_imT = np.asarray(orig_imT)
                 inp_imT = np.asarray(inp_imT)
 
+                # All of this probe's method maps share one image pair:
+                # batch their blend+encode into ONE device program
+                # (TwinClsBatch); cache hits never join the batch.
+                twin_batch = inpaintgame.TwinClsBatch(
+                    snet, orig_imT, inp_imT, original_gal_embed,
+                    inpaint_gal_embed,
+                    mask_threshold_method=params["threshold_type"],
+                    thresholds=hgame_thresholds,
+                    percentiles=hgame_percentile, seed=seed,
+                    include_zero_elements=params["include_zero_saliency"],
+                    mask_blur_sigma=params["mask_blur_sigma"])
+                probe_group = []
+
                 for method, suffix_aggr in itertools.product(
                         params["METHOD"], params["SUFFIX_AGGR"]):
                     if skip_combination(net=net_name, method=method,
@@ -453,17 +466,7 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                                                 saliency_map=smap)
                         smap = resize(smap, orig_imT.shape[1:], order=0)
                         smap = smap / smap.sum()
-                        return \
-                            inpaintgame.launch_classified_as_inpainted_twin(
-                                snet, orig_imT, inp_imT,
-                                original_gal_embed, inpaint_gal_embed, smap,
-                                mask_threshold_method=params[
-                                    "threshold_type"],
-                                thresholds=hgame_thresholds,
-                                percentiles=hgame_percentile, seed=seed,
-                                include_zero_elements=params[
-                                    "include_zero_saliency"],
-                                mask_blur_sigma=params["mask_blur_sigma"])
+                        return twin_batch.launch(smap)
 
                     if params["threshold_type"] == "percent-density":
                         threshold_method_slug = "pct-density%d" % len(
@@ -559,10 +562,7 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                         if not params["ignore_missing_saliency_maps"]:
                             raise e
                         continue
-                    # this unit is launched; drain the previous one while
-                    # this one's encode runs, then leave this one pending
-                    drain_pending()
-                    pending_unit[0] = {
+                    probe_group.append({
                         "finish": finish_twin_cls,
                         "fields": (net_name, method,
                                    row["ORIGINAL_BASENAME"], inp_fn,
@@ -572,7 +572,14 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                         "check_false_pos": params["include_zero_saliency"],
                         "ignore_missing":
                             params["ignore_missing_saliency_maps"],
-                    }
+                    })
+
+                # this probe's units are all launched (one multi-map
+                # program); drain the previous group while it runs, then
+                # leave this group pending
+                twin_batch.flush()
+                drain_pending()
+                pending_units[0] = probe_group
 
     drain_pending()
     nonmate_classification = _to_dataframe(classified_as_nonmate)

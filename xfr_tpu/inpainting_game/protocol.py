@@ -156,6 +156,128 @@ def launch_classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
     return lambda: result
 
 
+class TwinClsBatch:
+    """Batch the twin-classification device programs of several saliency
+    maps that share ONE probe/twin image pair into a single scanned
+    blend+encode program.
+
+    The analysis stage evaluates every saliency method of a probe against
+    the same image pair (reference: plot_inpainting_game.py:1125-1161
+    loops methods inside the probe loop); a lone ~100-row blend+encode
+    program is dominated by per-program dispatch on the device link, so
+    batching a probe's M method maps into one M*T-row scan amortizes that
+    cost M-fold.  Each map's per-step [bs,...] encode batches are
+    identical to the single-map program's.
+
+    Usage: call :meth:`launch` per saliency map (returns the same
+    ``finish() -> (cls_twin, pg_dist, pr_dist)`` contract as
+    :func:`launch_classified_as_inpainted_twin`), then :meth:`flush` once
+    all of the probe's maps are launched; drain finishes afterwards.
+    Maps that don't qualify for the batched counts path (soft masks,
+    meshes, non-monotone families) fall back to the single-map launch
+    transparently.
+    """
+
+    def __init__(self, snet, original_imT, inpaint_imT, original_gal_embed,
+                 inpaint_gal_embed, mask_threshold_method,
+                 include_zero_elements=True, mask_blur_sigma=None,
+                 percentiles=None, thresholds=None, seed=None):
+        self.snet = snet
+        self.original_imT = original_imT
+        self.inpaint_imT = inpaint_imT
+        self.original_gal_embed = original_gal_embed
+        self.inpaint_gal_embed = inpaint_gal_embed
+        self.mask_threshold_method = mask_threshold_method
+        self.include_zero_elements = include_zero_elements
+        self.mask_blur_sigma = mask_blur_sigma
+        self.percentiles = percentiles
+        self.thresholds = thresholds
+        self.seed = seed
+        self._counts = []
+        self._T = None
+        self._finish_embeds = None
+        self._result = None
+
+    def _single(self, saliency_map):
+        return launch_classified_as_inpainted_twin(
+            self.snet, self.original_imT, self.inpaint_imT,
+            self.original_gal_embed, self.inpaint_gal_embed, saliency_map,
+            self.mask_threshold_method,
+            include_zero_elements=self.include_zero_elements,
+            mask_blur_sigma=self.mask_blur_sigma,
+            percentiles=self.percentiles, thresholds=self.thresholds,
+            seed=self.seed)
+
+    def launch(self, saliency_map):
+        binary = not (self.mask_blur_sigma is not None
+                      and self.mask_blur_sigma > 0)
+        snet = self.snet
+        device_ok = (binary and self.original_imT.ndim == 3
+                     and self.original_imT.shape[0] in (1, 3)
+                     and hasattr(snet,
+                                 "launch_blend_embeddings_counts_multi")
+                     and getattr(snet, "mesh", None) is None
+                     and self._finish_embeds is None)  # not yet flushed
+        if not device_ok:
+            return self._single(saliency_map)
+        plane, thr = _threshold_plane(
+            saliency_map, self.mask_threshold_method,
+            percentiles=self.percentiles, thresholds=self.thresholds,
+            seed=self.seed,
+            include_zero_elements=self.include_zero_elements)
+        if not (len(thr) <= 255 and bool(np.all(np.diff(thr) <= 0))):
+            return self._single(saliency_map)
+        if self._T is None:
+            self._T = len(thr)
+        assert len(thr) == self._T, (
+            "all maps of a TwinClsBatch must share one threshold schedule")
+        counts = np.searchsorted(np.sort(thr), plane.ravel(),
+                                 side="left").astype(np.uint8)
+        idx = len(self._counts)
+        self._counts.append(counts)
+
+        def finish():
+            blend_embeds = self._embeds()[idx]
+            blend_embeds = blend_embeds / np.linalg.norm(
+                blend_embeds, axis=1, keepdims=True)
+            pr_dist = np.linalg.norm(blend_embeds - self.original_gal_embed,
+                                     axis=1)
+            pg_dist = np.linalg.norm(blend_embeds - self.inpaint_gal_embed,
+                                     axis=1)
+            classified_as_twin = pg_dist < pr_dist
+            assert not classified_as_twin[0], (
+                "mask-0 blend (pure original) already classifies as the "
+                "twin")
+            return classified_as_twin, pg_dist, pr_dist
+
+        return finish
+
+    def flush(self):
+        """Enqueue the one multi-map device program (no-op if empty or
+        already flushed).  A single-map batch reuses the single-map
+        program — same math, and it is the one already compiled by
+        non-batched callers (a resumed run with one cache miss per probe
+        shouldn't pay a fresh remote compile)."""
+        if not self._counts or self._finish_embeds is not None:
+            return
+        if len(self._counts) == 1:
+            inner = self.snet.launch_blend_embeddings_counts(
+                self.original_imT, self.inpaint_imT, self._counts[0],
+                self._T, norm=True)
+            self._finish_embeds = lambda: inner()[None]
+        else:
+            self._finish_embeds = \
+                self.snet.launch_blend_embeddings_counts_multi(
+                    self.original_imT, self.inpaint_imT,
+                    np.stack(self._counts), self._T, norm=True)
+
+    def _embeds(self):
+        self.flush()
+        if self._result is None:
+            self._result = self._finish_embeds()
+        return self._result
+
+
 def classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
                                  original_gal_embed, inpaint_gal_embed,
                                  saliency_map, mask_threshold_method,

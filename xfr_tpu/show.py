@@ -153,7 +153,9 @@ def create_save_smap(method, output_dir, overwrite, smap_fn, mask_id,
 
     overlay_filename, npz_filename = smap_paths(method, output_dir, mask_id)
     if overwrite or not smap_cached(method, output_dir, mask_id):
-        smap = np.asarray(smap_fn(), np.float32)
+        # np.array, not asarray: smap_fn may hand back a read-only
+        # device_get view; the normalization below is in-place
+        smap = np.array(smap_fn(), np.float32)
         smap -= smap.min()
         smap /= smap.sum()
         smap = processSaliency(probe_im, smap)
