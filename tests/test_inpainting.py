@@ -376,3 +376,43 @@ def test_twin_cls_batch_matches_single_units():
         np.testing.assert_allclose(pg_m, pg_s, rtol=0, atol=1e-6)
         np.testing.assert_allclose(pr_m, pr_s, rtol=0, atol=1e-6)
     np.testing.assert_array_equal(extra[0], multi[0][0])
+
+
+def test_multi_pair_program_matches_single_pair():
+    """launch_blend_embeddings_counts_multi_pair (cross-probe batched
+    eval program) must return the same embeddings as the per-pair
+    counts program for every (map, pair) — each scan step slices its
+    own pair but the [bs,...] encode batch is otherwise identical."""
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.inpainting_game.protocol import _threshold_plane
+
+    wb = make_toy_wbnet(num_classes=4, seed=2)
+    rng = np.random.RandomState(13)
+    pairs = []
+    for _ in range(2):
+        o = rng.rand(3, 224, 224).astype(np.float32) * 50
+        pairs.append((o, o + rng.rand(3, 224, 224).astype(np.float32) * 30))
+    percentiles = np.unique(np.append(np.arange(0, 100, 4), [0, 100]))
+
+    counts_all, T = [], None
+    for _ in range(4):  # 2 maps per pair
+        s = rng.rand(224, 224)
+        s /= s.sum()
+        plane, thr = _threshold_plane(
+            s, "percent-density", percentiles=percentiles, seed=7,
+            include_zero_elements=False)
+        counts_all.append(np.searchsorted(
+            np.sort(thr), plane.ravel(), side="left").astype(np.uint8))
+        T = len(thr)
+    counts_all = np.stack(counts_all)
+    pair_idx = np.array([0, 0, 1, 1], np.int32)
+
+    got = wb.launch_blend_embeddings_counts_multi_pair(
+        [p[0] for p in pairs], [p[1] for p in pairs], counts_all,
+        pair_idx, T, norm=False)()
+    assert got.shape[0] == 4 and got.shape[1] == T
+    for m in range(4):
+        o, i = pairs[pair_idx[m]]
+        ref = wb.launch_blend_embeddings_counts(
+            o, i, counts_all[m], T, norm=False)()
+        np.testing.assert_array_equal(got[m], ref)

@@ -1885,6 +1885,84 @@ class Whitebox:
         return self._kernel(("blend_encode_mono_multi", M, T, bs),
                             lambda: fn, precision=None)
 
+    def _blend_encode_mono_multi_pair_fn(self, M, P, T, bs):
+        """Cross-probe variant of :meth:`_blend_encode_mono_multi_fn`:
+        the M monotone mask families may reference DIFFERENT probe/twin
+        image pairs (``pair_idx[m]`` selects from [P,C,H,W] stacks).  The
+        analysis stage uses this to run several probes' method maps under
+        ONE scanned program, amortizing the per-probe dispatch+drain that
+        remains after per-probe method batching.
+
+        Each scan step slices its pair out of the stacks (one ~600 KB
+        dynamic slice — cheap next to the [bs,C,H,W] encode) and is
+        otherwise identical to the single-pair program's step, so per-map
+        embeddings match the single-pair path bit-for-bit."""
+        graph, enc = self.net.graph, self.net.encode_tensor
+        nchunk = -(-T // bs)
+
+        @jax.jit
+        def fn(params, origs, inps, counts, pair_idx):
+            H, W = origs.shape[-2], origs.shape[-1]
+            c_all = counts.astype(jnp.int32)  # [M, H*W]
+
+            def body(carry, mtp):
+                m, t0, p = mtp
+                c = jax.lax.dynamic_index_in_dim(c_all, m, axis=0)  # [1,HW]
+                orig = jax.lax.dynamic_index_in_dim(origs, p, axis=0,
+                                                    keepdims=False)
+                inp = jax.lax.dynamic_index_in_dim(inps, p, axis=0,
+                                                   keepdims=False)
+                t = t0 + jnp.arange(bs, dtype=jnp.int32)[:, None]
+                mk = ((t < T) & (c >= T - t)).astype(orig.dtype)
+                blends = ((1.0 - mk.reshape(bs, 1, H, W)) * orig[None] +
+                          mk.reshape(bs, 1, H, W) * inp[None])
+                e = I.forward_clean(graph, params, blends)[enc]
+                return carry, e.reshape(bs, -1)
+
+            ms = jnp.repeat(jnp.arange(M, dtype=jnp.int32), nchunk)
+            t0s = jnp.tile(jnp.arange(0, nchunk * bs, bs, dtype=jnp.int32),
+                           M)
+            ps = jnp.repeat(pair_idx.astype(jnp.int32), nchunk)
+            _, es = jax.lax.scan(body, 0, (ms, t0s, ps))
+            return es.reshape(M, nchunk * bs, -1)[:, :T]
+
+        return self._kernel(("blend_encode_mono_multi_pair", M, P, T, bs),
+                            lambda: fn, precision=None)
+
+    def launch_blend_embeddings_counts_multi_pair(
+            self, orig_imTs, inpaint_imTs, counts_mat, pair_idx, T,
+            norm=True):
+        """Batch M monotone mask families spanning P probe/twin image
+        pairs into a single scanned blend+encode program.  ``orig_imTs``
+        / ``inpaint_imTs``: length-P sequences of [C,H,W] images;
+        ``counts_mat``: [M, H*W] uint8 enter-count planes; ``pair_idx``:
+        [M] indices into the pair stacks.  ``finish()`` returns [M, T, D]
+        embeddings."""
+        counts_mat = np.ascontiguousarray(counts_mat, np.uint8)
+        pair_idx = np.ascontiguousarray(pair_idx, np.int32)
+        assert self.mesh is None and T <= 255 and counts_mat.ndim == 2
+        M = counts_mat.shape[0]
+        P = len(orig_imTs)
+        assert len(inpaint_imTs) == P and pair_idx.shape == (M,)
+        bs = self.batch_size
+        origs = jnp.stack([self._device_put_memo(
+            np.asarray(o, np.float32)) for o in orig_imTs])
+        inps = jnp.stack([self._device_put_memo(
+            np.asarray(i, np.float32)) for i in inpaint_imTs])
+        bs_m = min(self.blend_batch, -(-T // bs) * bs)
+        fn = self._blend_encode_mono_multi_pair_fn(M, P, T, bs_m)
+        out = fn(self.net.params, origs, inps, jnp.asarray(counts_mat),
+                 jnp.asarray(pair_idx))
+
+        def finish():
+            embeds = np.asarray(out)
+            if norm:
+                embeds = embeds / np.linalg.norm(embeds, axis=2,
+                                                 keepdims=True)
+            return embeds
+
+        return finish
+
     def _device_put_memo(self, arr):
         """Upload a host array once per content: a small content-hash memo
         returns the live device buffer for repeated uploads (content key
