@@ -312,6 +312,7 @@ def test_warm_cache_smoke():
     assert any("meanEBP" in n for n in names)
     assert any("wsebp" in n for n in names)
     assert any("blend" in n for n in names)
+    assert any("multi-map" in n for n in names)
     assert any("blackbox" in n for n in names)
     assert all(dt >= 0 for _, dt in steps)
     # the eval/BB steps must warm the PRODUCTION program signatures: the

@@ -16,8 +16,9 @@ round trips.
 The warmed set covers the whitebox generation mix (meanEBP pooled,
 fused contrastive+truncated, wsebp ranking + scan-batched sweep at the
 canonical batch size), the embeddings encode chunk, the eval-stage
-blend+encode chunk, and optionally the blackbox fused scorer + mask
-sampler (--bb).
+blend+encode programs (single-map scan, bit-packed fallback chunk, and
+the analysis stage's 4-method multi-map scan), and optionally the
+blackbox fused scorer + mask sampler (--bb).
 """
 
 import argparse
@@ -110,6 +111,39 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
                             masks)
 
     step("eval blend+encode chunk (bit-packed)", _blend_bits)
+
+    def _blend_multi():
+        # the analysis stage batches all of a probe's method maps into ONE
+        # multi-map scan (TwinClsBatch -> program keyed
+        # ("blend_encode_mono_multi", M, 101, bs)); warm the standard
+        # 4-method mix signature (meanEBP + contrastive + truncated +
+        # weighted-subtree).  M==1 batches reuse the single-map program
+        # warmed by _blend.
+        wb.net.reset_classifier()
+        from xfr_tpu.inpainting_game import TwinClsBatch
+
+        percentiles = np.unique(np.append(np.arange(0, 100, 1), [0, 100]))
+        orig = np.asarray(probes[0], np.float32)
+        inp = np.asarray(probes[1], np.float32)
+        # galleries = the pair's own embeddings so the protocol's mask-0
+        # sanity assert (pure-original blend must classify as original)
+        # holds for any weights
+        ge = np.asarray(wb.embeddings(np.stack([orig, inp])))
+        ge = ge / np.linalg.norm(ge, axis=1, keepdims=True)
+        batch = TwinClsBatch(wb, orig, inp, ge[:1], ge[1:],
+                             mask_threshold_method="percent-density",
+                             percentiles=percentiles, seed=0,
+                             include_zero_elements=False)
+        fins = []
+        for _ in range(4):
+            smap = rng.rand(224, 224)
+            smap /= smap.sum()
+            fins.append(batch.launch(smap))
+        batch.flush()
+        for f in fins:
+            f()
+
+    step("eval multi-map blend+encode (M=4)", _blend_multi)
 
     if bb:
         from xfr_tpu.blackbox import STRise
