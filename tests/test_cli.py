@@ -321,3 +321,48 @@ def test_warm_cache_smoke():
     # wsebp step's [2B,D] triplet classifier must have been reset before
     # the blend/blackbox steps traced
     assert wb.net.num_classes() == 6
+
+
+def test_unpack_dataset_cli(tmp_path):
+    """xfr-unpack-dataset extracts subj-*.tar.gz into IJBC/ (reference
+    data/inpainting-game/unpack-aligned.sh), idempotently."""
+    import tarfile
+
+    from xfr_tpu.cli import unpack_dataset
+
+    ijbc = tmp_path / "IJBC"
+    (ijbc / "aligned").mkdir(parents=True)
+    # two subject archives whose payload lands under aligned/<ID>/
+    for subj in ("101", "202"):
+        src = tmp_path / "src" / "aligned" / subj
+        src.mkdir(parents=True)
+        (src / "img.png").write_bytes(b"fake")
+        with tarfile.open(str(ijbc / ("subj-%s.tar.gz" % subj)),
+                          "w:gz") as tf:
+            tf.add(str(src), arcname="aligned/%s" % subj)
+
+    done = unpack_dataset.unpack_aligned(str(tmp_path), verbose=False)
+    assert done == ["101", "202"]
+    assert (ijbc / "aligned" / "101" / "img.png").read_bytes() == b"fake"
+
+    # idempotent: second run skips everything unless --force
+    assert unpack_dataset.unpack_aligned(str(tmp_path), verbose=False) == []
+    assert unpack_dataset.unpack_aligned(str(tmp_path), force=True,
+                                         verbose=False) == ["101", "202"]
+
+    # the argparse main drives the same path
+    unpack_dataset.main(["--dataset-dir", str(tmp_path), "--force"])
+
+    # archives with escaping paths are refused
+    evil = ijbc / "subj-303.tar.gz"
+    with tarfile.open(str(evil), "w:gz") as tf:
+        p = tmp_path / "x.txt"
+        p.write_text("nope")
+        tf.add(str(p), arcname="../evil.txt")
+    with pytest.raises(ValueError):
+        unpack_dataset.unpack_aligned(str(tmp_path), force=True,
+                                      verbose=False)
+
+    # missing IJBC/ gives a clear error
+    with pytest.raises(FileNotFoundError):
+        unpack_dataset.unpack_aligned(str(tmp_path / "nowhere"))
