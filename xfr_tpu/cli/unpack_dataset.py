@@ -50,7 +50,9 @@ def unpack_aligned(dataset_dir=None, force=False, verbose=True):
                 if not target.startswith(os.path.realpath(ijbc) + os.sep):
                     raise ValueError("unsafe path in %s: %s"
                                      % (fname, member.name))
-            tf.extractall(ijbc)
+            # data_filter additionally blocks symlink-escape tricks the
+            # realpath check above cannot see (link member + write-through)
+            tf.extractall(ijbc, filter="data")
         done.append(subj)
     return done
 
