@@ -363,6 +363,20 @@ def test_unpack_dataset_cli(tmp_path):
         unpack_dataset.unpack_aligned(str(tmp_path), force=True,
                                       verbose=False)
 
+    # symlink-member escapes (link inside, target outside) are refused by
+    # the tarfile data filter even though the member path itself is clean
+    evil.unlink()
+    link = ijbc / "subj-404.tar.gz"
+    with tarfile.open(str(link), "w:gz") as tf:
+        ti = tarfile.TarInfo("aligned/404/link")
+        ti.type = tarfile.SYMTYPE
+        ti.linkname = "/etc"
+        tf.addfile(ti)
+    with pytest.raises(tarfile.FilterError):
+        unpack_dataset.unpack_aligned(str(tmp_path), force=True,
+                                      verbose=False)
+    link.unlink()
+
     # missing IJBC/ gives a clear error
     with pytest.raises(FileNotFoundError):
         unpack_dataset.unpack_aligned(str(tmp_path / "nowhere"))
