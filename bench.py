@@ -37,16 +37,30 @@ BASELINE_BB_MAPS_PER_SEC = 0.0201   # Titan X, 6500-mask STRise map
 BASELINE_EVAL_PER_SEC = 0.72        # Titan X-era, twin-cls + IoU sweep
 
 
-def _emit(metric, value, unit, baseline):
-    print(json.dumps({
+def _emit(metric, value, unit, baseline, times=None, per=1, bound=None):
+    """One JSON metric line.  ``times``: per-iteration wall seconds (each
+    covering ``per`` units) — axon run-to-run variance is ~±15%, so the
+    spread fields (median/min/max rate + raw times) let a reader tell a
+    real regression from service noise.  ``bound``: known architectural
+    rate bound for context (e.g. the WB sweep-only bound)."""
+    rec = {
         "metric": metric,
         "value": round(value, 4),
         "unit": unit,
         "vs_baseline": round(value / baseline, 2),
-    }), flush=True)
+    }
+    if times:
+        t = np.asarray(times, np.float64)
+        rec["median"] = round(per / float(np.median(t)), 4)
+        rec["min"] = round(per / float(t.max()), 4)
+        rec["max"] = round(per / float(t.min()), 4)
+        rec["iter_times_s"] = [round(float(x), 4) for x in t]
+    if bound is not None:
+        rec["bound"] = bound
+    print(json.dumps(rec), flush=True)
 
 
-def bench_blackbox(wb, rng, n_maps=3, num_masks=6500):
+def bench_blackbox(wb, rng, n_maps=5, num_masks=6500):
     """Sustained BB map rate with the production launch/finish pipeline
     (map k's host post overlaps map k+1's device scoring queue)."""
     from xfr_tpu.blackbox import STRise
@@ -77,19 +91,23 @@ def bench_blackbox(wb, rng, n_maps=3, num_masks=6500):
     smap = launch(0)()  # warmup / compile
     assert np.isfinite(smap).all()
 
+    times = []
     t0 = time.time()
     pend = launch(1)
     for s in range(2, n_maps + 1):
         fin = launch(s)
         smap = pend()  # forces the host transfer: honest timing on axon
+        t1 = time.time()
+        times.append(t1 - t0)
+        t0 = t1
         pend = fin
     smap = pend()
-    dt = (time.time() - t0) / n_maps
+    times.append(time.time() - t0)
     assert np.isfinite(smap).all()
-    return 1.0 / dt
+    return n_maps / sum(times), times
 
 
-def bench_eval(wb, rng, n_groups=6):
+def bench_eval(wb, rng, n_groups=10):
     """Sustained probe-method eval rate: percent-density threshold sweep
     (101 blends + twin classification) + IoU curve, exactly the analysis
     stage's per-unit work AND overlap: all 4 method maps of a probe batch
@@ -152,20 +170,24 @@ def bench_eval(wb, rng, n_groups=6):
     # one probe group in flight, like run_inpaintinggame_analysis:
     # group p+1 launches (and computes its host IoU curves) before
     # group p drains
+    times = []
     t0 = time.time()
     pend = launch_group(0)
     for p in range(1, n_groups):
         nxt = launch_group(p)
         for f in pend:
             f()
+        t1 = time.time()
+        times.append(t1 - t0)
+        t0 = t1
         pend = nxt
     for f in pend:
         f()
-    dt = (time.time() - t0) / (4 * n_groups)
-    return 1.0 / dt
+    times.append(time.time() - t0)
+    return 4 * n_groups / sum(times), times
 
 
-def bench_whitebox(wb, rng, n_iters=4):
+def bench_whitebox(wb, rng, n_iters=6):
     """The inpainting-game standard per-probe 4-map method mix on the
     flagship STR-Janus ResNet-101+L2 matcher
     (generate_whitebox_saliency.py:316-411), probe-batched B=8 via the
@@ -217,17 +239,21 @@ def bench_whitebox(wb, rng, n_iters=4):
     # Double-buffered groups exactly like the generation pipeline
     # (generate_wb_smaps_batched): group i's host drain (transfers +
     # saliency post) overlaps group i+1's device queue.
+    times = []
     t0 = time.time()
     prev = launch_mix()
     for _ in range(n_iters - 1):
         st = launch_mix()
         out = drain(prev)
+        t1 = time.time()
+        times.append(t1 - t0)
+        t0 = t1
         prev = st
     out = drain(prev)
-    dt = (time.time() - t0) / n_iters
+    times.append(time.time() - t0)
     for s in out:
         assert np.isfinite(s).all()
-    return 4.0 * B / dt
+    return 4.0 * B * n_iters / sum(times), times
 
 
 def main():
@@ -247,23 +273,27 @@ def main():
     # records the LAST line.
     wb_metric = ("whitebox EBP saliency maps/sec/chip (4-map eval mix, "
                  "ResNet-101+L2)")
-    wbv = bench_whitebox(wb, rng)
-    _emit(wb_metric, wbv, "maps/sec/chip", BASELINE_WB_MAPS_PER_SEC)
+    # bound: the wsebp sweep standalone measures 66.5 ms/probe -> 60.1
+    # maps/s sweep-only (tools/_wsebp_roofline.py; CLAUDE.md round-3)
+    wbv, wbt = bench_whitebox(wb, rng)
+    _emit(wb_metric, wbv, "maps/sec/chip", BASELINE_WB_MAPS_PER_SEC,
+          times=wbt, per=32, bound=60.1)
     # restore the full classifier: the BB prior's Pn shape (and every
     # encode program signature) depends on net.num_classes()
     wb.net.reset_classifier()
 
-    bb = bench_blackbox(wb, rng)
+    bb, bbt = bench_blackbox(wb, rng)
     _emit("blackbox STRise saliency maps/sec/chip (6500 masks, mean-EBP "
           "prior, blur fill, ResNet-101+L2 fused scorer)",
-          bb, "maps/sec/chip", BASELINE_BB_MAPS_PER_SEC)
+          bb, "maps/sec/chip", BASELINE_BB_MAPS_PER_SEC, times=bbt, per=1)
 
-    ev = bench_eval(wb, rng)
+    ev, evt = bench_eval(wb, rng)
     _emit("inpainting-game eval probe-method evals/sec/chip "
           "(percent-density sweep: 101 blend embeddings + twin-cls + IoU)",
-          ev, "evals/sec/chip", BASELINE_EVAL_PER_SEC)
+          ev, "evals/sec/chip", BASELINE_EVAL_PER_SEC, times=evt, per=4)
 
-    _emit(wb_metric, wbv, "maps/sec/chip", BASELINE_WB_MAPS_PER_SEC)
+    _emit(wb_metric, wbv, "maps/sec/chip", BASELINE_WB_MAPS_PER_SEC,
+          times=wbt, per=32, bound=60.1)
 
 
 if __name__ == "__main__":

@@ -323,6 +323,49 @@ def test_warm_cache_smoke():
     assert wb.net.num_classes() == 6
 
 
+def test_warm_cache_covers_registry():
+    """The warm-cache invariant, mechanized (round-3 verdict #6): every
+    program family flagged warm=True in xfr_tpu.utils.programs must be
+    BUILT by warm(), and warm() must not build families the registry
+    calls lazy (that would mean a production-path program shipped without
+    a registry decision).  Adding a canonical-shape program without a
+    warm step — or a warm step that silently stops building its program —
+    fails here; building an *unregistered* family raises in
+    Whitebox._kernel itself."""
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.cli.warm_cache import warm
+    from xfr_tpu.utils import programs
+
+    wb = make_toy_wbnet(num_classes=6, seed=3)
+    programs.BUILT.clear()
+    programs.RECORD = True
+    try:
+        warm(net_name="resnetv4_pytorch", batch_size=2, bb=True,
+             num_masks=16, verbose=False, wb=wb)
+    finally:
+        programs.RECORD = False
+    built = set(programs.BUILT)
+    programs.BUILT.clear()
+    assert built == programs.warm_set(), (
+        "warm_cache coverage drifted from the registry.\n"
+        "flagged warm but not built by warm(): %s\n"
+        "built by warm() but flagged lazy: %s" % (
+            sorted(programs.warm_set() - built),
+            sorted(built - programs.warm_set())))
+
+
+def test_unregistered_program_family_raises():
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.utils import programs
+
+    wb = make_toy_wbnet(num_classes=4, seed=0)
+    with pytest.raises(KeyError, match="unregistered"):
+        wb._kernel(("totally_new_family", 1), lambda: (lambda: None))
+    # registered families never raise
+    for fam in programs.PROGRAMS:
+        programs.note_build(fam)
+
+
 def test_unpack_dataset_cli(tmp_path):
     """xfr-unpack-dataset extracts subj-*.tar.gz into IJBC/ (reference
     data/inpainting-game/unpack-aligned.sh), idempotently."""

@@ -492,26 +492,70 @@ class STRise:
         from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
 
         wb = self.resnet_net
-        graph, enc = wb.net.graph, wb.net.encode_tensor
+        local = self._scorer_scan_local()
 
         def build():
             @jax.jit
             def score_all(params, masks_c, probe, fill, ref_e, gal_e):
-                def body(carry, mchunk):
-                    blends = (mchunk[..., None] * probe +
-                              (1.0 - mchunk[..., None]) * fill)
-                    x = preprocess_resnet101_batch(blends)
-                    return carry, _encode_and_score(graph, enc, params, x,
-                                                    ref_e, gal_e)
-
-                _, (rs, gs) = jax.lax.scan(body, 0, masks_c)
-                return (rs.reshape(nchunk * bs, -1),
-                        gs.reshape(nchunk * bs, -1))
+                return local(params, masks_c, probe, fill, ref_e, gal_e)
 
             return score_all
 
-        return wb._kernel(("strise_scan_scorer", enc, nchunk, bs), build,
-                          precision=self.score_precision)
+        return wb._kernel(
+            ("strise_scan_scorer", wb.net.encode_tensor, nchunk, bs),
+            build, precision=self.score_precision)
+
+    def _scorer_scan_local(self):
+        """The scanned-scorer body shared by the single-device jit and the
+        shard_map per-device shard (mask chunks are independent, so the
+        mesh path shards the chunk axis over 'dp' with zero collectives
+        and per-chunk programs identical to the single-chip scan)."""
+        from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
+
+        wb = self.resnet_net
+        graph, enc = wb.net.graph, wb.net.encode_tensor
+
+        def local(params, masks_c, probe, fill, ref_e, gal_e):
+            def body(carry, mchunk):
+                blends = (mchunk[..., None] * probe +
+                          (1.0 - mchunk[..., None]) * fill)
+                x = preprocess_resnet101_batch(blends)
+                return carry, _encode_and_score(graph, enc, params, x,
+                                                ref_e, gal_e)
+
+            _, (rs, gs) = jax.lax.scan(body, 0, masks_c)
+            n = masks_c.shape[0] * masks_c.shape[1]
+            return rs.reshape(n, -1), gs.reshape(n, -1)
+
+        return local
+
+    def _fused_scorer_scan_shmap(self, nchunk, bs):
+        """Mesh form of :meth:`_fused_scorer_scan`: the [nchunk,bs,H,W]
+        chunk axis (nchunk a 'dp' multiple; zero-mask pad chunks are
+        discarded by the caller) shards over 'dp', each device scanning
+        its chunks with the identical body.  This keeps the one-program
+        scan win under ``--mesh auto`` instead of falling back to the
+        per-chunk dispatch loop."""
+        wb = self.resnet_net
+        mesh = self.mesh
+        local = self._scorer_scan_local()
+        from jax.sharding import PartitionSpec as Pspec
+
+        def build():
+            @jax.jit
+            def score_all(params, masks_c, probe, fill, ref_e, gal_e):
+                lp = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(Pspec(), Pspec("dp"), Pspec(), Pspec(),
+                              Pspec(), Pspec()),
+                    out_specs=(Pspec("dp"), Pspec("dp")))
+                return lp(params, masks_c, probe, fill, ref_e, gal_e)
+
+            return score_all
+
+        return wb._kernel(
+            ("strise_scan_scorer_shmap", wb.net.encode_tensor, nchunk, bs,
+             id(mesh)), build, precision=self.score_precision)
 
     def _fused_scorer_pallas(self):
         """Scorer chunk using the Pallas fused upsample+shift+blend+
@@ -590,8 +634,7 @@ class STRise:
             pad = (-n) % bs
             use_pallas = (self.use_pallas_blend and
                           getattr(self, "_grids_dev", None) is not None)
-            fused = (want_fused_finish and self.mesh is None and
-                     not use_pallas and
+            fused = (want_fused_finish and not use_pallas and
                      self.triplet_scoring_fn ==
                      self.contrastive_triplet_similarity)
 
@@ -621,74 +664,83 @@ class STRise:
                     shifts = jnp.concatenate(
                         [shifts, jnp.zeros((pad, 2), shifts.dtype)])
             else:
-                scorer = self._fused_scorer()
                 masks = self._masks_dev
                 if pad:
                     masks = jnp.concatenate(
                         [masks, jnp.zeros((pad,) + masks.shape[1:],
                                           masks.dtype)])
-                if self.mesh is None:
-                    # single-chip: all chunks in ONE scanned program
-                    # (saves one dispatch round trip per chunk; see
-                    # _fused_scorer_scan)
-                    nchunk = (n + pad) // bs
-                    rs, gs = self._fused_scorer_scan(nchunk, bs)(
-                        wb.net.params,
-                        masks.reshape(nchunk, bs, *masks.shape[1:]),
-                        probe, fill_d, ref_e_d, gal_e_d)
-                    ref_chunks.append(rs)
-                    gal_chunks.append(gs)
-                    if fused:
-                        flat_ref = jnp.asarray(ref_e, jnp.float32
-                                               ).reshape(len(self.refs), -1)
-                        flat_gal = jnp.asarray(
-                            gal_e, jnp.float32).reshape(
-                                _collection_size(self.gallery), -1)
-                        cts_d, npos_d, smap_d = self._select_combine_fn(n)(
-                            masks, rs, gs, pe_kernel, flat_ref, flat_gal)
+                # all chunks in ONE scanned program (saves one dispatch
+                # round trip per chunk; see _fused_scorer_scan).  Under a
+                # mesh the chunk axis shards over 'dp' (shard_map;
+                # identical per-chunk program), so --mesh auto keeps the
+                # scan win.
+                nchunk = (n + pad) // bs
+                if self.mesh is not None:
+                    dp = self.mesh.shape["dp"]
+                    cpad = (-nchunk) % dp
+                    if cpad:
+                        masks = jnp.concatenate(
+                            [masks,
+                             jnp.zeros((cpad * bs,) + masks.shape[1:],
+                                       masks.dtype)])
+                        nchunk += cpad
+                    scan = self._fused_scorer_scan_shmap(nchunk, bs)
+                    masks_c = self._dp_put(
+                        masks.reshape(nchunk, bs, *masks.shape[1:]))
+                else:
+                    scan = self._fused_scorer_scan(nchunk, bs)
+                    masks_c = masks.reshape(nchunk, bs, *masks.shape[1:])
+                rs, gs = scan(wb.net.params, masks_c, probe, fill_d,
+                              ref_e_d, gal_e_d)
+                ref_chunks.append(rs)
+                gal_chunks.append(gs)
+                if fused:
+                    flat_ref = jnp.asarray(ref_e, jnp.float32
+                                           ).reshape(len(self.refs), -1)
+                    flat_gal = jnp.asarray(
+                        gal_e, jnp.float32).reshape(
+                            _collection_size(self.gallery), -1)
+                    cts_d, npos_d, smap_d = self._select_combine_fn(n)(
+                        masks, rs, gs, pe_kernel, flat_ref, flat_gal)
 
-                        def fused_finish():
-                            cts, npos, smap, rs_h, gs_h = jax.device_get(
-                                (cts_d, npos_d, smap_d, rs, gs))
-                            # np.array (not asarray): device_get views are
-                            # read-only, but these are public result
-                            # fields that callers mutate in place
-                            # (create_save_smap normalizes the map
-                            # in-place, like the reference's numpy maps)
-                            self.masked_probe_ref_scores = \
-                                np.array(rs_h)[:n]
-                            self.masked_probe_gallery_scores = \
-                                np.array(gs_h)[:n]
-                            pe = probe_fetch()
-                            self.original_probe_ref_scores = \
-                                _l2_similarity(pe, ref_e)
-                            self.original_probe_gallery_scores = \
-                                _l2_similarity(pe, gal_e)
-                            self.mask_scores = np.array(cts)
-                            if npos == 0:
-                                raise ValueError(
-                                    "no positively-scored masks: the "
-                                    "probe scores identically against "
-                                    "refs and gallery (are they the same "
-                                    "images?) — cannot form a saliency "
-                                    "map")
-                            self.saliency_map = np.array(smap)
+                    def fused_finish():
+                        cts, npos, smap, rs_h, gs_h = jax.device_get(
+                            (cts_d, npos_d, smap_d, rs, gs))
+                        # np.array (not asarray): device_get views are
+                        # read-only, but these are public result
+                        # fields that callers mutate in place
+                        # (create_save_smap normalizes the map
+                        # in-place, like the reference's numpy maps)
+                        self.masked_probe_ref_scores = \
+                            np.array(rs_h)[:n]
+                        self.masked_probe_gallery_scores = \
+                            np.array(gs_h)[:n]
+                        pe = probe_fetch()
+                        self.original_probe_ref_scores = \
+                            _l2_similarity(pe, ref_e)
+                        self.original_probe_gallery_scores = \
+                            _l2_similarity(pe, gal_e)
+                        self.mask_scores = np.array(cts)
+                        if npos == 0:
+                            raise ValueError(
+                                "no positively-scored masks: the "
+                                "probe scores identically against "
+                                "refs and gallery (are they the same "
+                                "images?) — cannot form a saliency "
+                                "map")
+                        self.saliency_map = np.array(smap)
 
-                        self._fused_finish = fused_finish
+                    self._fused_finish = fused_finish
 
-            for i in (() if ref_chunks else range(0, n + pad, bs)):
-                if use_pallas:
+            if use_pallas:
+                for i in range(0, n + pad, bs):
                     rs, gs = scorer(wb.net.params,
                                     self._dp_put(grids[i:i + bs]),
                                     self._dp_put(shifts[i:i + bs]), probe,
                                     fill_d, ref_e_d, gal_e_d)
-                else:
-                    rs, gs = scorer(wb.net.params,
-                                    self._dp_put(masks[i:i + bs]), probe,
-                                    fill_d, ref_e_d, gal_e_d)
-                # keep on device: dispatches pipeline asynchronously
-                ref_chunks.append(rs)
-                gal_chunks.append(gs)
+                    # keep on device: dispatches pipeline asynchronously
+                    ref_chunks.append(rs)
+                    gal_chunks.append(gs)
 
             def drain():
                 self.masked_probe_ref_scores = np.asarray(
@@ -852,8 +904,8 @@ class STRise:
         fused = self._fused_finish
         self._fused_finish = None
         if fused is not None:
-            # single-chip default-scoring path: selection+combine were
-            # enqueued on device; finish is ONE fetch
+            # default-scoring path (single-chip or mesh): selection+
+            # combine were enqueued on device; finish is ONE fetch
             def finish():
                 fused()
                 return self.saliency_map

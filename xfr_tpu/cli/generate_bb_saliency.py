@@ -52,12 +52,18 @@ def main(argv=None):
                              "visible devices; off: single-device")
     parser.add_argument("--prior", dest="prior_type", default="mean_ebp",
                         choices=["mean_ebp", "uniform"])
-    parser.add_argument("--score-precision", default="default",
+    parser.add_argument("--score-precision", default="high",
                         choices=["default", "high", "highest"],
                         help="matmul precision of the mask-scoring "
-                             "encode: 'default' = fastest TPU matmuls "
-                             "(~3e-4 score noise); 'high' = bf16_3x "
-                             "(f32-grade mask ranking at ~2.2x cost); "
+                             "encode.  'high' (bf16_3x, the CLI default) "
+                             "gives f32-grade mask RANKING — the eval "
+                             "stage's product — at ~2.2x the scan cost "
+                             "(measured 0.999 top-20%% rank overlap with "
+                             "f32 vs 0.74 map correlation for 'default' "
+                             "on low-spread workloads); 'default' = "
+                             "fastest TPU matmuls (~3e-4 score noise; "
+                             "the library ctor default, fine when the "
+                             "mask-score spread dwarfs the noise); "
                              "'highest' = full f32")
     args = parser.parse_args(argv)
 

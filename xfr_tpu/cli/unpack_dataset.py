@@ -43,6 +43,14 @@ def unpack_aligned(dataset_dir=None, force=False, verbose=True):
             continue
         if verbose:
             print("unpacking %s -> IJBC/aligned/%s" % (fname, subj))
+        if not hasattr(tarfile, "data_filter"):
+            # PEP 706 filters (Python >= 3.12, or the 3.10.12+/3.11.4+
+            # backports) are the symlink-escape defense; fail closed on
+            # interpreters that lack them rather than extract unsafely.
+            raise RuntimeError(
+                "xfr-unpack-dataset requires tarfile.data_filter "
+                "(Python >= 3.12 or a PEP 706 backport); this Python is "
+                "too old to extract untrusted archives safely")
         with tarfile.open(os.path.join(ijbc, fname), "r:gz") as tf:
             # refuse entries that would escape the dataset dir
             for member in tf.getmembers():

@@ -159,6 +159,11 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
             # same signature argument as _blend: production BB nets have
             # the full classifier (mean_ebp_prior's Pn is [1, n_classes])
             wb.net.reset_classifier()
+            # score_precision="high" matches the BB CLI default (the
+            # canonical eval-facing signature; measured ~18 min cold
+            # compile for the 2048-mask 'high' scan in a slow service
+            # window — exactly what warming is for).  The library-default
+            # (None) scorer is warmed too: generation resumes may mix.
             st = STRise(probe=probe_im, refs=refs, gallery=gals,
                         black_box=net_name,
                         net_dict={(net_name, 6): wb,
@@ -166,8 +171,18 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
                         mask_scale=12, num_mask_elements=2,
                         mask_fill_type="blur", blur_fill_sigma_percent=4,
                         num_masks=num_masks, seed=0,
-                        prior_type="mean_ebp")
+                        prior_type="mean_ebp", score_precision="high")
             st.launch_evaluate()()
+            st_def = STRise(probe=probe_im, refs=refs, gallery=gals,
+                            black_box=net_name,
+                            net_dict={(net_name, 6): wb,
+                                      ("resnetv4_pytorch", None): wb},
+                            mask_scale=12, num_mask_elements=2,
+                            mask_fill_type="blur",
+                            blur_fill_sigma_percent=4,
+                            num_masks=num_masks, seed=0,
+                            prior_type="mean_ebp")
+            st_def.launch_evaluate()()
 
         step("blackbox prior+masks+fused scorer", _bb)
 

@@ -327,6 +327,8 @@ class Whitebox:
         key = key + (precision,)
         fn = self._jit_cache.get(key)
         if fn is None:
+            from xfr_tpu.utils import programs
+            programs.note_build(key[0])
             built = builder()
             if precision is None:
                 fn = built
@@ -1813,20 +1815,18 @@ class Whitebox:
 
         return self._kernel(("blend_encode",), lambda: fn, precision=None)
 
-    def _blend_encode_mono_fn(self, T, bs):
-        """jitted: a MONOTONE threshold-mask family [T,H,W] represented as
-        one per-pixel enter-count plane (counts[p] = number of masks
-        containing p; by monotonicity pixel p is in masks T-counts[p]..T-1),
-        blended+encoded in bs-row chunks under ONE lax.scan program.
-
-        vs the bit-packed path this uploads ~50 KB instead of ~633 KB for
-        the standard 101-threshold sweep and costs one dispatch instead of
-        ceil(T/bs) (measured: uploads were 2/3 of the eval unit)."""
+    def _blend_encode_mono_local(self, T, bs):
+        """The scan body shared by the single-device mono blend+encode jit
+        and its shard_map per-device shard: scan over a sequence of
+        chunk-start rows ``t0s``, each step blending+encoding a [bs,...]
+        batch from the enter-count plane.  Row chunks are independent, so
+        sharding ``t0s`` over 'dp' decomposes the family with zero
+        collectives — the mesh analog of the wsebp probes-over-dp
+        shard_map (same step program as single-chip, so per-row
+        embeddings are identical)."""
         graph, enc = self.net.graph, self.net.encode_tensor
-        nchunk = -(-T // bs)
 
-        @jax.jit
-        def fn(params, orig, inp, counts):
+        def local(params, orig, inp, counts, t0s):
             H, W = orig.shape[-2], orig.shape[-1]
             c = counts.astype(jnp.int32)[None, :]  # [1, H*W]
 
@@ -1838,12 +1838,53 @@ class Whitebox:
                 e = I.forward_clean(graph, params, blends)[enc]
                 return carry, e.reshape(bs, -1)
 
-            _, es = jax.lax.scan(
-                body, 0, jnp.arange(0, nchunk * bs, bs, dtype=jnp.int32))
-            return es.reshape(nchunk * bs, -1)[:T]
+            _, es = jax.lax.scan(body, 0, t0s)
+            return es.reshape(t0s.shape[0] * bs, -1)
+
+        return local
+
+    def _blend_encode_mono_fn(self, T, bs):
+        """jitted: a MONOTONE threshold-mask family [T,H,W] represented as
+        one per-pixel enter-count plane (counts[p] = number of masks
+        containing p; by monotonicity pixel p is in masks T-counts[p]..T-1),
+        blended+encoded in bs-row chunks under ONE lax.scan program.
+
+        vs the bit-packed path this uploads ~50 KB instead of ~633 KB for
+        the standard 101-threshold sweep and costs one dispatch instead of
+        ceil(T/bs) (measured: uploads were 2/3 of the eval unit)."""
+        nchunk = -(-T // bs)
+        local = self._blend_encode_mono_local(T, bs)
+
+        @jax.jit
+        def fn(params, orig, inp, counts):
+            t0s = jnp.arange(0, nchunk * bs, bs, dtype=jnp.int32)
+            return local(params, orig, inp, counts, t0s)[:T]
 
         return self._kernel(("blend_encode_mono", T, bs), lambda: fn,
                             precision=None)
+
+    def _blend_encode_mono_shmap_fn(self, T, bs):
+        """Mesh form of :meth:`_blend_encode_mono_fn`: the chunk-start
+        sequence ``t0s`` (padded to a 'dp' multiple; rows past T encode
+        the pure original and are discarded) is sharded over 'dp', each
+        device running the identical local scan on its chunk range.  No
+        collectives — chunks are independent; outputs concatenate in
+        global row order."""
+        mesh = self.mesh
+        local = self._blend_encode_mono_local(T, bs)
+        from jax.sharding import PartitionSpec as Pspec
+
+        @jax.jit
+        def fn(params, orig, inp, counts, t0s):
+            lp = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(Pspec(), Pspec(), Pspec(), Pspec(),
+                          Pspec("dp")),
+                out_specs=Pspec("dp"))
+            return lp(params, orig, inp, counts, t0s)
+
+        return self._kernel(("blend_encode_mono_shmap", T, bs, id(mesh)),
+                            lambda: fn, precision=None)
 
     def _blend_encode_mono_multi_fn(self, M, T, bs):
         """Multi-map variant of :meth:`_blend_encode_mono_fn`: M monotone
@@ -1858,11 +1899,29 @@ class Whitebox:
         batching maps amortizes the per-program dispatch/pipeline-startup
         cost that dominates a lone ~100-row unit on the remote device
         link."""
-        graph, enc = self.net.graph, self.net.encode_tensor
         nchunk = -(-T // bs)
+        local = self._blend_encode_mono_multi_local(T, bs)
 
         @jax.jit
         def fn(params, orig, inp, counts):
+            ms = jnp.repeat(jnp.arange(M, dtype=jnp.int32), nchunk)
+            t0s = jnp.tile(jnp.arange(0, nchunk * bs, bs, dtype=jnp.int32),
+                           M)
+            return local(params, orig, inp, counts, ms,
+                         t0s).reshape(M, nchunk * bs, -1)[:, :T]
+
+        return self._kernel(("blend_encode_mono_multi", M, T, bs),
+                            lambda: fn, precision=None)
+
+    def _blend_encode_mono_multi_local(self, T, bs):
+        """Scan body shared by the single-device multi-map blend+encode
+        jit and its shard_map shard: the (map index, chunk start) step
+        sequence is an input, so the mesh path can shard the flat step
+        list over 'dp' (steps are independent; per-step batches identical
+        to the single program's)."""
+        graph, enc = self.net.graph, self.net.encode_tensor
+
+        def local(params, orig, inp, counts, ms, t0s):
             H, W = orig.shape[-2], orig.shape[-1]
             c_all = counts.astype(jnp.int32)  # [M, H*W]
 
@@ -1876,14 +1935,34 @@ class Whitebox:
                 e = I.forward_clean(graph, params, blends)[enc]
                 return carry, e.reshape(bs, -1)
 
-            ms = jnp.repeat(jnp.arange(M, dtype=jnp.int32), nchunk)
-            t0s = jnp.tile(jnp.arange(0, nchunk * bs, bs, dtype=jnp.int32),
-                           M)
             _, es = jax.lax.scan(body, 0, (ms, t0s))
-            return es.reshape(M, nchunk * bs, -1)[:, :T]
+            return es.reshape(ms.shape[0] * bs, -1)
 
-        return self._kernel(("blend_encode_mono_multi", M, T, bs),
-                            lambda: fn, precision=None)
+        return local
+
+    def _blend_encode_mono_multi_shmap_fn(self, T, bs):
+        """Mesh form of :meth:`_blend_encode_mono_multi_fn`: the flat
+        (map, chunk) step sequence — padded with discarded t0>=T steps to
+        a 'dp' multiple — is sharded over 'dp'; each device scans its
+        step range with the identical body.  Outputs concatenate in
+        global step order, so the caller's [M, nchunk*bs] reshape sees
+        the same layout as the single program."""
+        mesh = self.mesh
+        local = self._blend_encode_mono_multi_local(T, bs)
+        from jax.sharding import PartitionSpec as Pspec
+
+        @jax.jit
+        def fn(params, orig, inp, counts, ms, t0s):
+            lp = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(Pspec(), Pspec(), Pspec(), Pspec(),
+                          Pspec("dp"), Pspec("dp")),
+                out_specs=Pspec("dp"))
+            return lp(params, orig, inp, counts, ms, t0s)
+
+        return self._kernel(
+            ("blend_encode_mono_multi_shmap", T, bs, id(mesh)),
+            lambda: fn, precision=None)
 
     def _blend_encode_mono_multi_pair_fn(self, M, P, T, bs):
         """Cross-probe variant of :meth:`_blend_encode_mono_multi_fn`:
@@ -1998,7 +2077,7 @@ class Whitebox:
         T = masks.shape[0]
         bs = self.batch_size
 
-        mono = (self.mesh is None and T <= 255
+        mono = (T <= 255
                 and bool(np.all(masks[1:] >= masks[:-1])))
         if mono:
             counts = masks.sum(axis=0, dtype=np.uint8).reshape(-1)
@@ -2039,15 +2118,26 @@ class Whitebox:
         number of masks containing pixel p; mask t contains p iff
         counts[p] >= T - t).  Callers that derive masks from a threshold
         plane (inpainting-game eval) compute counts with one searchsorted
-        instead of materializing the [T,H,W] family."""
-        assert self.mesh is None and T <= 255
+        instead of materializing the [T,H,W] family.
+
+        Under a mesh the row chunks shard over 'dp' (shard_map; identical
+        per-chunk program, so embeddings match the single-chip path)."""
+        assert T <= 255
         counts = np.ascontiguousarray(counts, np.uint8).reshape(-1)
         bs = self.batch_size
         orig = self._device_put_memo(np.asarray(orig_imT, np.float32))
         inp = self._device_put_memo(np.asarray(inpaint_imT, np.float32))
         bs_m = min(self.blend_batch, -(-T // bs) * bs)
-        fn = self._blend_encode_mono_fn(T, bs_m)
-        out = fn(self.net.params, orig, inp, jnp.asarray(counts))
+        if self.mesh is None:
+            fn = self._blend_encode_mono_fn(T, bs_m)
+            out = fn(self.net.params, orig, inp, jnp.asarray(counts))
+        else:
+            nchunk = -(-T // bs_m)
+            nchunk = -(-nchunk // self._dp) * self._dp  # pad to dp multiple
+            t0s = np.arange(0, nchunk * bs_m, bs_m, dtype=np.int32)
+            fn = self._blend_encode_mono_shmap_fn(T, bs_m)
+            out = fn(self.net.params, orig, inp, jnp.asarray(counts),
+                     self._shard_rows(t0s))[:T]
 
         def finish():
             embeds = np.asarray(out)
@@ -2064,16 +2154,36 @@ class Whitebox:
         single scanned blend+encode program (``counts_mat``: [M, H*W]
         uint8 enter-count planes).  ``finish()`` returns [M, T, D]
         embeddings.  The inpainting-game analysis uses this to evaluate
-        all of a probe's saliency methods in one device program."""
+        all of a probe's saliency methods in one device program.
+
+        Under a mesh the flat (map, chunk) step sequence shards over
+        'dp' (shard_map; identical per-step program, so embeddings match
+        the single-chip path)."""
         counts_mat = np.ascontiguousarray(counts_mat, np.uint8)
-        assert self.mesh is None and T <= 255 and counts_mat.ndim == 2
+        assert T <= 255 and counts_mat.ndim == 2
         M = counts_mat.shape[0]
         bs = self.batch_size
         orig = self._device_put_memo(np.asarray(orig_imT, np.float32))
         inp = self._device_put_memo(np.asarray(inpaint_imT, np.float32))
         bs_m = min(self.blend_batch, -(-T // bs) * bs)
-        fn = self._blend_encode_mono_multi_fn(M, T, bs_m)
-        out = fn(self.net.params, orig, inp, jnp.asarray(counts_mat))
+        if self.mesh is None:
+            fn = self._blend_encode_mono_multi_fn(M, T, bs_m)
+            out = fn(self.net.params, orig, inp, jnp.asarray(counts_mat))
+        else:
+            nchunk = -(-T // bs_m)
+            steps = M * nchunk
+            pad = (-steps) % self._dp  # discarded t0>=T steps
+            ms = np.concatenate([
+                np.repeat(np.arange(M, dtype=np.int32), nchunk),
+                np.zeros(pad, np.int32)])
+            t0s = np.concatenate([
+                np.tile(np.arange(0, nchunk * bs_m, bs_m, dtype=np.int32),
+                        M),
+                np.full(pad, nchunk * bs_m, np.int32)])
+            fn = self._blend_encode_mono_multi_shmap_fn(T, bs_m)
+            out = fn(self.net.params, orig, inp, jnp.asarray(counts_mat),
+                     self._shard_rows(ms), self._shard_rows(t0s))
+            out = out[:steps * bs_m].reshape(M, nchunk * bs_m, -1)[:, :T]
 
         def finish():
             embeds = np.asarray(out)

@@ -103,7 +103,7 @@ def launch_classified_as_inpainted_twin(snet, original_imT, inpaint_imT,
             saliency_map, mask_threshold_method, percentiles=percentiles,
             thresholds=thresholds, seed=seed,
             include_zero_elements=include_zero_elements)
-    counts_ok = (device_ok and getattr(snet, "mesh", None) is None
+    counts_ok = (device_ok
                  and hasattr(snet, "launch_blend_embeddings_counts")
                  and len(thr) <= 255 and bool(np.all(np.diff(thr) <= 0)))
     if not counts_ok:
@@ -174,8 +174,10 @@ class TwinClsBatch:
     :func:`launch_classified_as_inpainted_twin`), then :meth:`flush` once
     all of the probe's maps are launched; drain finishes afterwards.
     Maps that don't qualify for the batched counts path (soft masks,
-    meshes, non-monotone families) fall back to the single-map launch
-    transparently.
+    non-monotone families) fall back to the single-map launch
+    transparently.  Under a mesh the scanned program shards its step
+    sequence over 'dp' (see engine._blend_encode_mono_multi_shmap_fn),
+    so ``--mesh auto`` keeps the same program shape.
     """
 
     def __init__(self, snet, original_imT, inpaint_imT, original_gal_embed,
@@ -216,7 +218,6 @@ class TwinClsBatch:
                      and self.original_imT.shape[0] in (1, 3)
                      and hasattr(snet,
                                  "launch_blend_embeddings_counts_multi")
-                     and getattr(snet, "mesh", None) is None
                      and self._finish_embeds is None)  # not yet flushed
         if not device_ok:
             return self._single(saliency_map)
