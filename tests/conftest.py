@@ -22,3 +22,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (full-size oracle sweeps whose "
+             "property is already covered at reduced size by default)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: opt-in full-size oracle sweep (--runslow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="needs --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -179,10 +179,13 @@ def test_subject_dists_cli_ijbc_fixture(tmp_path, monkeypatch):
     rows = []
     os.makedirs(tmp_path / "protocols")
     os.makedirs(tmp_path / "images")
-    for sid in range(1, 7):
+    # 4 subjects x 2 sightings: the smallest corpus that still exercises
+    # mate pairs, nonmate pools, and the 2-seed output naming (each extra
+    # image costs a full-net CPU embedding; 6x3 measured 105 s)
+    for sid in range(1, 5):
         base = (rng.rand(240, 240, 3) * 120 + 40).astype(np.uint8)
         base[30 * sid // 2:120, 40:200, sid % 3] = 230
-        for k in range(3):
+        for k in range(2):
             img = np.clip(base.astype(int) +
                           rng.randint(-12, 12, base.shape),
                           0, 255).astype(np.uint8)

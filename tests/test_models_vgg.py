@@ -83,27 +83,32 @@ class _VGGFace2Torch(nn.Module):
 
 
 class _VGG16Torch(nn.Module):
-    """Reference VGGFace replica (vggface.py:54-140)."""
+    """Reference VGGFace replica (vggface.py:54-140).  ``cfg``/``input_hw``
+    /``fc_dim`` shrink the net with an identical module/hook sequence."""
 
     CFG = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
 
-    def __init__(self, num_classes=11):
+    def __init__(self, num_classes=11, cfg=None, input_hw=224, fc_dim=4096):
         super().__init__()
+        self.cfg = self.CFG if cfg is None else tuple(cfg)
         cin = 3
-        for bi, (n, cout) in enumerate(self.CFG, start=1):
+        for bi, (n, cout) in enumerate(self.cfg, start=1):
             for ci in range(1, n + 1):
                 setattr(self, f"conv{bi}_{ci}",
                         nn.Conv2d(cin, cout, 3, 1, 1))
                 cin = cout
-        self.fc6 = nn.Linear(25088, 4096)
-        self.fc7 = nn.Linear(4096, 4096)
-        self.fc8 = nn.Linear(4096, num_classes)
+        hw = input_hw
+        for _ in self.cfg:
+            hw = -(-hw // 2)
+        self.fc6 = nn.Linear(self.cfg[-1][1] * hw * hw, fc_dim)
+        self.fc7 = nn.Linear(fc_dim, fc_dim)
+        self.fc8 = nn.Linear(fc_dim, num_classes)
         self.nonlin = nn.ReLU()
         self.maxpool = nn.MaxPool2d(2, 2, 0, ceil_mode=True)
         self.dropout = nn.Dropout(0.5)
 
     def forward(self, x):
-        for bi, (n, cout) in enumerate(self.CFG, start=1):
+        for bi, (n, cout) in enumerate(self.cfg, start=1):
             for ci in range(1, n + 1):
                 x = self.nonlin(getattr(self, f"conv{bi}_{ci}")(x))
             x = self.maxpool(x)
@@ -168,13 +173,15 @@ def test_senet_ebp_raises_on_sigmoid():
               jnp.zeros((1, 2), jnp.float32), subtree_mode="norelu")
 
 
-def test_vgg16_forward_and_ebp_parity():
-    tnet = _randomize(_VGG16Torch(num_classes=11), 6)
-    graph, shapes, enc = build_vgg16(num_classes=11)
+def _vgg16_ebp_parity(cfg, input_hw, fc_dim, events="subset"):
+    tnet = _randomize(_VGG16Torch(num_classes=11, cfg=cfg,
+                                  input_hw=input_hw, fc_dim=fc_dim), 6)
+    graph, shapes, enc = build_vgg16(num_classes=11, cfg=cfg,
+                                     input_hw=input_hw, fc_dim=fc_dim)
     params = params_from_state_dict(shapes, tnet.state_dict(),
                                     dtype=jnp.float64)
 
-    x = torch.rand((1, 3, 224, 224), dtype=torch.float64,
+    x = torch.rand((1, 3, input_hw, input_hw), dtype=torch.float64,
                    generator=torch.Generator().manual_seed(10))
     with torch.no_grad():
         y_ref = tnet(x)
@@ -189,7 +196,40 @@ def test_vgg16_forward_and_ebp_parity():
     out = I.ebp(graph, params, jnp.asarray(x.numpy()),
                 jnp.asarray(Pn.numpy()), subtree_mode="norelu", eps=1e-12)
     assert len(P_ref) == graph.n_events
-    for k in [0, 1, 2, 5, graph.n_events - 2, graph.n_events - 1]:
+    ks = (range(graph.n_events) if events == "all"
+          else [0, 1, 2, 5, graph.n_events - 2, graph.n_events - 1])
+    for k in ks:
         np.testing.assert_allclose(
             np.asarray(out[k]), P_ref[k].numpy(), rtol=1e-6, atol=1e-12,
             err_msg=f"event {k} ({names[k]})")
+
+
+def test_vgg16_forward_parity_fullsize():
+    """Full-depth/full-size conversion + forward parity (the conversion
+    property needs the real cfg; EBP parity doesn't — see below)."""
+    tnet = _randomize(_VGG16Torch(num_classes=11), 6)
+    graph, shapes, enc = build_vgg16(num_classes=11)
+    params = params_from_state_dict(shapes, tnet.state_dict(),
+                                    dtype=jnp.float64)
+    x = torch.rand((1, 3, 224, 224), dtype=torch.float64,
+                   generator=torch.Generator().manual_seed(10))
+    with torch.no_grad():
+        y_ref = tnet(x)
+    values = I.forward_clean(graph, params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(values[graph.output_id]),
+                               y_ref.numpy(), rtol=1e-8, atol=1e-9)
+
+
+def test_vgg16_ebp_parity_mini():
+    """EBP event parity on a reduced VGG-16 with the identical op/event
+    sequence (plain conv+bias, ceil-mode maxpools, hooked Dropout, FC
+    chain) — checks EVERY event, vs the full-size test's sampled six.
+    The full-size variant is the opt-in slow tier (--runslow); it ran at
+    224^2 in ~11 min of the 23-min suite for the same schedule property."""
+    _vgg16_ebp_parity(cfg=((1, 8), (1, 8), (2, 16), (2, 16), (2, 16)),
+                      input_hw=64, fc_dim=32, events="all")
+
+
+@pytest.mark.slow
+def test_vgg16_ebp_parity_fullsize():
+    _vgg16_ebp_parity(cfg=None, input_hw=224, fc_dim=4096)

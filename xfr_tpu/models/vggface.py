@@ -17,32 +17,42 @@ MEAN_BGR = np.array([93.5940, 104.7624, 129.1863])  # applied in BGR order
 _CFG = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
 
 
-def build_vgg16(num_classes=2622):
+def build_vgg16(num_classes=2622, cfg=None, input_hw=224, fc_dim=4096):
     """Returns (graph, param_shapes, encode_tensor).
 
     encode_tensor = relu(fc7) pre-normalization; the reference's
     VGGFace_Custom then L2-normalizes, which embeddings() does too — we
     expose the normalized tensor to mirror 'encode' mode.
+
+    ``cfg``/``input_hw``/``fc_dim`` default to the reference VGG-16
+    (vggface.py:54-140); reduced values build a structurally identical
+    graph (same op/event sequence) for fast parity tests.
     """
+    cfg = _CFG if cfg is None else tuple(cfg)
+    hw = input_hw
+    for _ in cfg:
+        hw = -(-hw // 2)  # ceil_mode maxpool halving
+    flat = cfg[-1][1] * hw * hw
+
     g = GraphBuilder("vggface16")
     x = 0
     cin = 3
-    for bi, (n, cout) in enumerate(_CFG, start=1):
+    for bi, (n, cout) in enumerate(cfg, start=1):
         for ci in range(1, n + 1):
             x = g.conv2d(x, cin, cout, 3, padding=1, name=f"conv{bi}_{ci}")
             x = g.relu(x)
             cin = cout
         x = g.maxpool2d(x, 2, ceil_mode=True)
     x = g.flatten(x)
-    x = g.linear(x, 25088, 4096, name="fc6")
+    x = g.linear(x, flat, fc_dim, name="fc6")
     x = g.relu(x)
     # nn.Dropout is a hooked module in torch (identity at eval)
     x = g.node("dropout_eval", (x,), hooked=True, tag="Dropout")
-    x = g.linear(x, 4096, 4096, name="fc7")
+    x = g.linear(x, fc_dim, fc_dim, name="fc7")
     x = g.relu(x)
     enc = g.l2normalize(x)
     x2 = g.node("dropout_eval", (x,), hooked=True, tag="Dropout")
-    out = g.linear(x2, 4096, num_classes, name="fc8")
+    out = g.linear(x2, fc_dim, num_classes, name="fc8")
     graph = g.finalize(out)
     return graph, g.param_shapes, enc
 
