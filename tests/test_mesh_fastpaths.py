@@ -196,3 +196,71 @@ def test_strise_scan_scorer_and_fused_finish_under_mesh():
     np.testing.assert_allclose(s_sh.mask_scores, s_ref.mask_scores,
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(smap_sh, smap_ref, rtol=1e-4, atol=1e-5)
+
+
+@needs8
+def test_analysis_stack_identical_under_mesh(tmp_path):
+    """The full analysis stack (generation -> make_inpaintinggame_plots ->
+    results.csv) produces identical CLS curves and headline metrics with
+    and without a mesh — the CLI-level form of verdict #1's 'done'
+    criterion (--mesh auto must not change results or which programs
+    run).  Saliency maps are generated once un-meshed; the analysis runs
+    twice with separate cache/output dirs."""
+    import os
+
+    import pandas as pd
+
+    from tests.fixtures import make_mini_dataset, make_toy_wbnet
+    from xfr_tpu.inpainting_game import generate as G
+    from xfr_tpu.inpainting_game.analysis import (
+        make_inpaintinggame_plots, human_net_labels_)
+
+    data_dir = str(tmp_path / "data")
+    smaps_dir = str(tmp_path / "smaps")
+    os.makedirs(data_dir)
+    os.makedirs(smaps_dir)
+    make_mini_dataset(data_dir, net_name="toynet", mask_ids=(2,))
+
+    wb = make_toy_wbnet(subtree_mode="all")
+    G.generate_wb_smaps(
+        wb, "toynet", "img/p1", 1, "00002", subtree_mode_weighted="all",
+        ebp_ver=6, overwrite=False, data_dir=data_dir, smaps_dir=smaps_dir)
+
+    methods = ["meanEBP_mode=all_v06_cpu",
+               "contrastive_triplet_ebp_mode=all_v06_cpu",
+               "inpaintingMask"]
+    labels = dict(human_net_labels_)
+    labels["toynet"] = "ToyNet"
+
+    def analyze(net, tag):
+        out_dir = str(tmp_path / ("out_" + tag))
+        cache_dir = str(tmp_path / ("cache_" + tag))
+        os.makedirs(out_dir)
+        os.makedirs(cache_dir)
+        params = dict(
+            threshold_type="percent-density", output_dir=out_dir,
+            output_subdir=None, cache_dir=cache_dir, smap_root=smaps_dir,
+            data_dir=data_dir, NET=["toynet"], SUBJECT_ID=[1],
+            MASK_ID=[2], METHOD=list(methods), IMG_BASENAME=None,
+            reprocess=False, seed=42, include_zero_saliency=True,
+            mask_blur_sigma=0, balance_masks=True,
+            ignore_missing_saliency_maps=False)
+        ncls = make_inpaintinggame_plots({"toynet": net}, params,
+                                         human_net_labels=labels)
+        res = pd.read_csv(os.path.join(out_dir, "results.csv"))
+        return ncls, res
+
+    ncls_ref, res_ref = analyze(wb, "single")
+
+    wb2 = make_toy_wbnet(subtree_mode="all")
+    wb2.use_mesh(make_mesh((8, 1), ("dp", "mp")))
+    ncls_sh, res_sh = analyze(wb2, "mesh")
+
+    assert list(res_sh["method"]) == list(res_ref["method"])
+    for col in ("all,far=1e-2", "all,far=5e-2"):
+        np.testing.assert_allclose(res_sh[col].values, res_ref[col].values,
+                                   rtol=1e-6, atol=1e-9)
+    for a, b in zip(ncls_sh["CLS_AS_TWIN"], ncls_ref["CLS_AS_TWIN"]):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-6, atol=1e-9)
