@@ -426,3 +426,32 @@ def test_unpack_dataset_cli(tmp_path):
     # missing IJBC/ gives a clear error
     with pytest.raises(FileNotFoundError):
         unpack_dataset.unpack_aligned(str(tmp_path / "nowhere"))
+
+
+def test_bb_cli_score_precision_default_is_high(tmp_path, monkeypatch):
+    """The BB generation CLI defaults to score_precision='high' (round-3
+    verdict #7: the eval stage's product is mask RANKING, which the fast
+    default degrades on low-spread workloads) and maps 'default' to the
+    library ctor's None.  Wiring-level test: generate_bb_smaps is
+    monkeypatched to capture the kwarg."""
+    from tests.fixtures import make_mini_dataset
+    from xfr_tpu.cli import generate_bb_saliency as B
+    from xfr_tpu.inpainting_game import generate as G
+
+    make_mini_dataset(str(tmp_path), net_name="resnetv4_pytorch",
+                      mask_ids=(2,))
+    seen = []
+
+    def fake_generate(*a, **kw):
+        seen.append(kw["score_precision"])
+
+    monkeypatch.setattr(G, "generate_bb_smaps", fake_generate)
+    base = ["--data-dir", str(tmp_path),
+            "--saliency-dir", str(tmp_path / "smaps"),
+            "--mask", "2", "--mesh", "off"]
+    B.main(base)
+    assert seen and all(p == "high" for p in seen)
+
+    seen.clear()
+    B.main(base + ["--score-precision", "default"])
+    assert seen and all(p is None for p in seen)
