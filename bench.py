@@ -60,9 +60,12 @@ def _emit(metric, value, unit, baseline, times=None, per=1, bound=None):
     print(json.dumps(rec), flush=True)
 
 
-def bench_blackbox(wb, rng, n_maps=5, num_masks=6500):
+def bench_blackbox(wb, rng, n_maps=5, num_masks=6500, mesh=None):
     """Sustained BB map rate with the production launch/finish pipeline
-    (map k's host post overlaps map k+1's device scoring queue)."""
+    (map k's host post overlaps map k+1's device scoring queue).
+    ``mesh``: run the STRise scorer's mesh path (tools/_mesh1_ab.py uses
+    a 1-device mesh to prove the shard_map wrapper costs nothing on a
+    real chip)."""
     from xfr_tpu.blackbox import STRise
 
     # distinct probe per map (like production generation: refs/gallery
@@ -85,7 +88,7 @@ def bench_blackbox(wb, rng, n_maps=5, num_masks=6500):
                     mask_scale=12, num_mask_elements=2,
                     mask_fill_type="blur", blur_fill_sigma_percent=4,
                     num_masks=num_masks, seed=seed,
-                    prior_type="mean_ebp")
+                    prior_type="mean_ebp", mesh=mesh)
         return st.launch_evaluate()
 
     smap = launch(0)()  # warmup / compile
