@@ -33,7 +33,8 @@ def test_counts_blend_sharded_matches_single():
 
     rng = np.random.RandomState(0)
     orig, inp = _image_pair(rng)
-    T = 13  # ceil(13/8)=2 chunks -> padded to 8 under dp=8
+    T = 13  # bs_m=min(blend_batch=32, ceil(13/8)*8)=16 -> 1 chunk,
+    # padded to 8 chunks under dp=8 (exercises non-dp-multiple padding)
     counts = rng.randint(0, T + 1, size=(224 * 224,)).astype(np.uint8)
 
     wb = make_toy_wbnet(seed=1)

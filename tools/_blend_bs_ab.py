@@ -29,7 +29,7 @@ def main():
     for bs in (32, 34, 26, 36):
         wb.blend_batch = bs
         rng = np.random.RandomState(0)
-        ev = bench.bench_eval(wb, rng, n_iters=12)
+        ev, _ = bench.bench_eval(wb, rng, n_groups=12)
         rows = -(-101 // bs) * bs
         print(f"blend_batch={bs:3d} ({rows} rows) "
               f"{ev:6.2f} evals/s  ({1000.0/ev:6.1f} ms/unit)", flush=True)

@@ -164,16 +164,8 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
             # compile for the 2048-mask 'high' scan in a slow service
             # window — exactly what warming is for).  The library-default
             # (None) scorer is warmed too: generation resumes may mix.
-            st = STRise(probe=probe_im, refs=refs, gallery=gals,
-                        black_box=net_name,
-                        net_dict={(net_name, 6): wb,
-                                  ("resnetv4_pytorch", None): wb},
-                        mask_scale=12, num_mask_elements=2,
-                        mask_fill_type="blur", blur_fill_sigma_percent=4,
-                        num_masks=num_masks, seed=0,
-                        prior_type="mean_ebp", score_precision="high")
-            st.launch_evaluate()()
-            st_def = STRise(probe=probe_im, refs=refs, gallery=gals,
+            for prec in ("high", None):
+                st = STRise(probe=probe_im, refs=refs, gallery=gals,
                             black_box=net_name,
                             net_dict={(net_name, 6): wb,
                                       ("resnetv4_pytorch", None): wb},
@@ -181,8 +173,8 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
                             mask_fill_type="blur",
                             blur_fill_sigma_percent=4,
                             num_masks=num_masks, seed=0,
-                            prior_type="mean_ebp")
-            st_def.launch_evaluate()()
+                            prior_type="mean_ebp", score_precision=prec)
+                st.launch_evaluate()()
 
         step("blackbox prior+masks+fused scorer", _bb)
 
