@@ -185,3 +185,47 @@ def test_fully_batched_sweep_matches_scan():
     np.testing.assert_array_equal(np.asarray(s_bat), np.asarray(s_scan))
     np.testing.assert_allclose(np.asarray(m_bat), np.asarray(m_scan),
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("subtree_mode", ["all", "norelu"])
+def test_cascade_matches_bucketed(subtree_mode):
+    """The cascaded growing-row walk (round-5: one full-depth walk, rows
+    joining at bucket frontiers) is the bucketed walk's row-sliced
+    restriction — outputs must match to float tolerance, single-probe
+    and probe-batched."""
+    wb, probe = _setup(subtree_mode)
+
+    _, idxs, vals = wb._wsebp_grad_fn()(
+        wb.net.params, probe, wb._onehot(0), gating=True)
+    elems = jnp.asarray(np.asarray(idxs).astype(np.int32))
+    injvals = jnp.asarray(np.asarray(vals, np.float32))
+
+    outs = {}
+    for casc in (False, True):
+        wb.wsebp_cascade = casc
+        outs[casc] = wb._wsebp_sweep_fn(n_buckets=4)(
+            wb.net.params, probe, elems, injvals)
+    np.testing.assert_allclose(
+        np.asarray(outs[True][0]), np.asarray(outs[False][0]),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(outs[True][1]), np.asarray(outs[False][1]),
+        rtol=1e-5, atol=1e-7)
+
+    # probe-batched scan path (the production program)
+    rng = np.random.RandomState(11)
+    B = 2
+    probes = jnp.asarray(rng.rand(B, 3, 224, 224), jnp.float32)
+    em = rng.rand(B, 12).astype(np.float32)
+    en = rng.rand(B, 12).astype(np.float32)
+    wb.set_triplet_classifier_batch(
+        em / np.linalg.norm(em, axis=1, keepdims=True),
+        en / np.linalg.norm(en, axis=1, keepdims=True))
+    res = {}
+    for casc in (False, True):
+        wb.wsebp_cascade = casc
+        res[casc] = wb.weighted_subtree_ebp_batch(
+            probes, topk=3, subtree_mode=subtree_mode)
+    for (sm_c, *_), (sm_b, *_) in zip(res[True], res[False]):
+        np.testing.assert_allclose(np.asarray(sm_c), np.asarray(sm_b),
+                                   rtol=1e-5, atol=1e-7)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from xfr_tpu.blackbox import masks as M
+from xfr_tpu.parallel.mesh import mesh_key
 from xfr_tpu.utils.image import center_crop
 
 
@@ -555,7 +556,7 @@ class STRise:
 
         return wb._kernel(
             ("strise_scan_scorer_shmap", wb.net.encode_tensor, nchunk, bs,
-             id(mesh)), build, precision=self.score_precision)
+             mesh_key(mesh)), build, precision=self.score_precision)
 
     def _fused_scorer_pallas(self):
         """Scorer chunk using the Pallas fused upsample+shift+blend+

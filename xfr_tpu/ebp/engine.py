@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from xfr_tpu.graph import GraphDef
 from xfr_tpu.ebp import interpreter as I
+from xfr_tpu.parallel.mesh import mesh_key
 
 
 def _percentile_mass_mask(mwp, percentile):
@@ -203,6 +204,11 @@ class Whitebox:
         # probes per scan step in the batched sweep: each step's walk ops
         # carry a [rows, chunk, ...] batch (see _wsebp_sweep_select_scan_fn)
         self.wsebp_probe_chunk = 1
+        # Cascaded sweep walk: merge the candidate buckets' walks below
+        # their shared frontiers into one growing-row walk (identical
+        # math, ~6.5x fewer walk ops on the per-op-overhead-bound sweep
+        # — see I.ebp_backward_allevents).
+        self.wsebp_cascade = True
         # lax.scan unroll of the per-probe sweep steps (scheduler can
         # interleave independent probes' small ops)
         self.wsebp_scan_unroll = 1
@@ -1156,10 +1162,12 @@ class Whitebox:
             return I.ebp_backward_allevents(
                 graph, params, values, posvals, elems,
                 vals.astype(x.dtype), subtree_mode=mode, eps=eps,
-                with_bias=wb, n_buckets=n_buckets, row_shard=row_shard)
+                with_bias=wb, n_buckets=n_buckets, row_shard=row_shard,
+                cascade=bool(self.wsebp_cascade))
 
         return self._kernel(("wsebp_sweep", mode, wb, n_buckets,
-                             str(sweep_dt), id(mesh)), lambda: fn)
+                             str(sweep_dt), bool(self.wsebp_cascade),
+                             mesh_key(mesh)), lambda: fn)
 
     def _wsebp_sweep_select_fn(self, topk, do_max, n_buckets=12):
         """jitted: full sweep + valid-subtree selection + weighted merge in
@@ -1193,13 +1201,15 @@ class Whitebox:
             P_out, maxes = I.ebp_backward_allevents(
                 graph, params, values, posvals, elems,
                 vals.astype(x.dtype), subtree_mode=mode, eps=eps,
-                with_bias=wb, n_buckets=n_buckets, row_shard=row_shard)
+                with_bias=wb, n_buckets=n_buckets, row_shard=row_shard,
+                cascade=bool(self.wsebp_cascade))
             return _wsebp_select_merge(P_out, maxes, scores, topk,
                                        do_max, eps)
 
         return self._kernel(("wsebp_sweep_select", mode, wb, n_buckets,
                              int(topk), bool(do_max), str(sweep_dt),
-                             id(mesh)), lambda: fn)
+                             bool(self.wsebp_cascade),
+                             mesh_key(mesh)), lambda: fn)
 
     def _wsebp_sweep_select_scan_fn(self, topk, do_max, n_buckets=12,
                                     probe_chunk=None, unroll=None):
@@ -1237,7 +1247,7 @@ class Whitebox:
 
         return self._kernel(("wsebp_sweep_select_scan", mode, wb, n_buckets,
                              int(topk), bool(do_max), str(sweep_dt), chunk,
-                             unroll), lambda: fn)
+                             unroll, bool(self.wsebp_cascade)), lambda: fn)
 
     def _wsebp_scan_local(self, topk, do_max, n_buckets, chunk, unroll):
         """The batched-sweep body shared by the single-device jit and the
@@ -1250,6 +1260,7 @@ class Whitebox:
         sweep compute dtype (callers run self._prep first)."""
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
+        casc = bool(self.wsebp_cascade)
 
         def local(params, x, elems, vals, scores):
             B = x.shape[0]
@@ -1265,7 +1276,8 @@ class Whitebox:
                         graph, params, [sl(v) for v in values],
                         [sl(v) for v in posvals], elems_i[0],
                         vals_i[0].astype(x.dtype), subtree_mode=mode,
-                        eps=eps, with_bias=wb, n_buckets=n_buckets)
+                        eps=eps, with_bias=wb, n_buckets=n_buckets,
+                        cascade=casc)
                     merged, sel = _wsebp_select_merge(
                         P_out, maxes, scores_i[0], topk, do_max, eps)
                     return carry, (merged[None], sel[None])
@@ -1273,7 +1285,7 @@ class Whitebox:
                     graph, params, [sl(v) for v in values],
                     [sl(v) for v in posvals], elems_i.T,
                     vals_i.T.astype(x.dtype), subtree_mode=mode, eps=eps,
-                    with_bias=wb, n_buckets=n_buckets)
+                    with_bias=wb, n_buckets=n_buckets, cascade=casc)
 
                 def one(Pb, mb, sb):
                     return _wsebp_select_merge(Pb[:, None], mb, sb, topk,
@@ -1321,7 +1333,8 @@ class Whitebox:
             P_out, maxes = I.ebp_backward_allevents(
                 graph, params, values, posvals, elems.T,
                 vals.T.astype(x.dtype), subtree_mode=mode, eps=eps,
-                with_bias=wb, n_buckets=n_buckets)
+                with_bias=wb, n_buckets=n_buckets,
+                cascade=bool(self.wsebp_cascade))
 
             def sel(Pb, mb, sb):
                 return _wsebp_select_merge(Pb[:, None], mb, sb, topk,
@@ -1331,7 +1344,8 @@ class Whitebox:
 
         return self._kernel(("wsebp_sweep_select_batch", mode, wb,
                              n_buckets, int(topk), bool(do_max),
-                             str(sweep_dt)), lambda: fn)
+                             str(sweep_dt), bool(self.wsebp_cascade)),
+                            lambda: fn)
 
     def _wsebp_sweep_select_shmap_fn(self, topk, do_max, n_buckets=12):
         """jitted: the scan-batched fused sweep with PROBES sharded over
@@ -1372,7 +1386,8 @@ class Whitebox:
 
         return self._kernel(("wsebp_sweep_select_shmap", mode, wb,
                              n_buckets, int(topk), bool(do_max),
-                             str(sweep_dt), id(mesh)), lambda: fn)
+                             str(sweep_dt), bool(self.wsebp_cascade),
+                             mesh_key(mesh)), lambda: fn)
 
     def _wsebp_buckets(self, n_buckets=6):
         """Static partition of candidate events 0..n_events-2 into buckets
@@ -1883,7 +1898,7 @@ class Whitebox:
                 out_specs=Pspec("dp"))
             return lp(params, orig, inp, counts, t0s)
 
-        return self._kernel(("blend_encode_mono_shmap", T, bs, id(mesh)),
+        return self._kernel(("blend_encode_mono_shmap", T, bs, mesh_key(mesh)),
                             lambda: fn, precision=None)
 
     def _blend_encode_mono_multi_fn(self, M, T, bs):
@@ -1961,7 +1976,7 @@ class Whitebox:
             return lp(params, orig, inp, counts, ms, t0s)
 
         return self._kernel(
-            ("blend_encode_mono_multi_shmap", T, bs, id(mesh)),
+            ("blend_encode_mono_multi_shmap", T, bs, mesh_key(mesh)),
             lambda: fn, precision=None)
 
     def _blend_encode_mono_multi_pair_fn(self, M, P, T, bs):

@@ -234,6 +234,7 @@ def ebp_backward_allevents(
     n_buckets: int = 1,
     out_event: Optional[int] = None,
     row_shard=None,
+    cascade: bool = False,
 ):
     """Batched prior-injected backward: one walk row per candidate event.
 
@@ -262,6 +263,13 @@ def ebp_backward_allevents(
     (one forward, one dispatch) — this is what the round-1 per-jit
     bucketing attempt lost.
 
+    ``cascade`` merges the buckets' walks below their shared frontiers
+    into ONE full-depth walk whose row batch grows bucket by bucket —
+    identical per-row math (the bucketed walk is its row-sliced
+    restriction), ~(n_buckets+1)/2 x fewer walk ops.  Ignored when
+    ``row_shard`` is given (the rows-over-mesh path keeps fixed-width
+    buckets so the shard sizes stay static).
+
     Returns (P_out [n_events-1, *out_shape], maxes [n_events-1]) where
     P_out is the channel-summed MWP at ``out_event`` (default: the
     saliency plane, n_events-2) and maxes are per-row map maxima for
@@ -279,22 +287,26 @@ def ebp_backward_allevents(
     bucket_ranges = [(lo, min(lo + size, n_cand))
                      for lo in range(0, n_cand, size)]
 
-    outs, maxes = [], []
-    for lo, hi in bucket_ranges:
-        nb = hi - lo
-        start_node = graph.event_node[lo]
-        grads = [None] * graph.n_tensors
+    outs = []
 
-        def _finalize(t, grads=grads, lo=lo, hi=hi):
+    def _make_finalize(grads, bounds):
+        """Hook-event processor for a walk carrying candidate rows
+        ``bounds[0]:bounds[1]`` (a bucket's range, or [0, live) for the
+        cascade — ``bounds`` is read at call time so the cascade can
+        grow it at bucket frontiers)."""
+
+        def _finalize(t):
+            lo, hi = bounds
             g = grads[t]
             for (ci, slot, at, xt) in graph.hooks_on(t):
                 ev = ev_by_key[(t, ci, slot)]
                 if g is None:
                     # above/at the truncation frontier: gradient is
-                    # identically zero for every row of this bucket
+                    # identically zero for every live row
                     if not (lo <= ev.idx < hi):
                         continue
-                    g = jnp.zeros((nb, *values[t].shape), values[t].dtype)
+                    g = jnp.zeros((hi - lo, *values[t].shape),
+                                  values[t].dtype)
                     if row_shard is not None:
                         # shard candidate rows over the mesh 'dp' axis;
                         # GSPMD propagates through the whole bucket walk
@@ -311,7 +323,7 @@ def ebp_backward_allevents(
                     # scatter, no batched-tensor copy, zero extra HBM
                     # traffic beyond the p read already happening.
                     rshape = p.shape[1:]
-                    rowsel = jnp.zeros((nb,) + (1,) * len(rshape),
+                    rowsel = jnp.zeros((hi - lo,) + (1,) * len(rshape),
                                        p.dtype).at[inj_row].set(1)
                     if elems.ndim == 1:
                         iota = jax.lax.broadcasted_iota(
@@ -352,22 +364,60 @@ def ebp_backward_allevents(
                 g = g2
             grads[t] = g
 
-        for ni in range(start_node, -1, -1):
-            node = graph.nodes[ni]
-            _finalize(node.out)
-            g = grads[node.out]
-            if g is None:
-                continue
-            p = params.get(node.pname, {}) if node.pname else {}
-            if node.hooked:
-                p = O.positive_params(node.op, p, with_bias=with_bias)
-            xs = tuple(values[i] for i in node.ins)
-            fn = lambda *inputs: O.OPS[node.op](p, inputs, **node.attrs_dict)
-            _, vjp_fn = jax.vjp(fn, *xs)
-            contribs = jax.vmap(vjp_fn)(g)
-            for i, c in zip(node.ins, contribs):
-                grads[i] = c if grads[i] is None else grads[i] + c
-        _finalize(graph.input_id)
+        return _finalize
+
+    def _walk_node(ni, grads, _finalize):
+        node = graph.nodes[ni]
+        _finalize(node.out)
+        g = grads[node.out]
+        if g is None:
+            return
+        p = params.get(node.pname, {}) if node.pname else {}
+        if node.hooked:
+            p = O.positive_params(node.op, p, with_bias=with_bias)
+        xs = tuple(values[i] for i in node.ins)
+        fn = lambda *inputs: O.OPS[node.op](p, inputs, **node.attrs_dict)
+        _, vjp_fn = jax.vjp(fn, *xs)
+        contribs = jax.vmap(vjp_fn)(g)
+        for i, c in zip(node.ins, contribs):
+            grads[i] = c if grads[i] is None else grads[i] + c
+
+    if cascade and row_shard is None and len(bucket_ranges) > 1:
+        # Cascaded walk: every bucket's exact walk shares the node range
+        # below the next bucket's frontier, so instead of n_buckets
+        # independent walks (each descending all the way to the input —
+        # ~sum_b depth_b node visits, the per-op dispatch bound of the
+        # round-3 roofline) run ONE full-depth walk whose candidate-row
+        # batch GROWS at each bucket frontier: pad every live gradient
+        # with the joining bucket's zero rows and keep walking.  Node
+        # visits drop ~(n_buckets+1)/2 x while the zero-row FLOP waste
+        # stays exactly that of the bucketed walk (rows still join only
+        # at their own bucket's frontier).
+        joins = {}
+        for lo, hi in bucket_ranges:
+            sn = graph.event_node[lo]
+            joins[sn] = max(joins.get(sn, 0), hi)
+        grads = [None] * graph.n_tensors
+        bounds = [0, 0]  # live candidate-row range, grown at frontiers
+        fin = _make_finalize(grads, bounds)
+        for ni in range(graph.event_node[0], -1, -1):
+            new_hi = joins.get(ni, 0)
+            if new_hi > bounds[1]:
+                for t, g in enumerate(grads):
+                    if g is not None:
+                        pad = jnp.zeros(
+                            (new_hi - g.shape[0],) + g.shape[1:], g.dtype)
+                        grads[t] = jnp.concatenate([g, pad])
+                bounds[1] = new_hi
+            _walk_node(ni, grads, fin)
+        fin(graph.input_id)
+    else:
+        for lo, hi in bucket_ranges:
+            grads = [None] * graph.n_tensors
+            fin = _make_finalize(grads, [lo, hi])
+            for ni in range(graph.event_node[lo], -1, -1):
+                _walk_node(ni, grads, fin)
+            fin(graph.input_id)
 
     P_out = jnp.concatenate(outs, axis=0)  # [n_cand, {1|P}, H, W]
     if elems.ndim == 2:  # probe-batched: per-(row, probe) maxima

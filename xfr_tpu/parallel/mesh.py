@@ -39,6 +39,18 @@ def auto_mesh(min_devices=2):
     return make_mesh(None, ("dp", "mp"))
 
 
+def mesh_key(mesh):
+    """Stable identity for kernel-cache keys: axis layout + device ids.
+    ``id(mesh)`` would only be unique while the cached closure pins the
+    mesh alive — and a process that churns meshes (repeated ``use_mesh``
+    in a notebook or a long service) would accumulate one cache entry
+    per Mesh *object* instead of per mesh *shape*."""
+    if mesh is None:
+        return None
+    return (tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.flat))
+
+
 def data_sharding(mesh, axis="dp", rank=1):
     """NamedSharding that splits the leading dim over ``axis``."""
     spec = [None] * rank
