@@ -39,33 +39,37 @@ BASELINE_EVAL_PER_SEC = 0.72        # Titan X-era, twin-cls + IoU sweep
 
 def _emit(metric, value, unit, baseline, times=None, per=1, bound=None):
     """One JSON metric line.  ``times``: per-iteration wall seconds (each
-    covering ``per`` units) — axon run-to-run variance is ~±15%, so the
-    spread fields (median/min/max rate + raw times) let a reader tell a
-    real regression from service noise.  ``bound``: known architectural
-    rate bound for context (e.g. the WB sweep-only bound)."""
-    rec = {
-        "metric": metric,
-        "value": round(value, 4),
-        "unit": unit,
-        "vs_baseline": round(value / baseline, 2),
-    }
+    covering ``per`` units).  When given, the headline ``value`` is the
+    MEDIAN of per-iteration rates: one axon compile-service stall halved
+    the round-4 eval headline (BENCH_r04 15.4 vs steady 25-40 evals/s),
+    so the number of record must be stall-robust.  The mean rate and
+    min/max/raw times stay as fields so a reader can tell a real
+    regression from service noise.  ``bound``: known architectural rate
+    bound for context (e.g. the WB sweep-only bound)."""
+    rec = {"metric": metric, "unit": unit}
     if times:
         t = np.asarray(times, np.float64)
-        rec["median"] = round(per / float(np.median(t)), 4)
+        value = per / float(np.median(t))
+        rec["mean"] = round(per * len(t) / float(t.sum()), 4)
         rec["min"] = round(per / float(t.max()), 4)
         rec["max"] = round(per / float(t.min()), 4)
         rec["iter_times_s"] = [round(float(x), 4) for x in t]
+    rec["value"] = round(value, 4)
+    rec["vs_baseline"] = round(value / baseline, 2)
     if bound is not None:
         rec["bound"] = bound
     print(json.dumps(rec), flush=True)
 
 
-def bench_blackbox(wb, rng, n_maps=5, num_masks=6500, mesh=None):
+def bench_blackbox(wb, rng, n_maps=5, num_masks=6500, mesh=None,
+                   score_precision=None):
     """Sustained BB map rate with the production launch/finish pipeline
     (map k's host post overlaps map k+1's device scoring queue).
     ``mesh``: run the STRise scorer's mesh path (tools/_mesh1_ab.py uses
     a 1-device mesh to prove the shard_map wrapper costs nothing on a
-    real chip)."""
+    real chip).  ``score_precision``: None = library ctor default (fast
+    scan); 'high' = the xfr-generate-bb CLI default (ranking-grade
+    bf16_3x matmuls, ~2.15x the scan cost — round-4 roofline)."""
     from xfr_tpu.blackbox import STRise
 
     # distinct probe per map (like production generation: refs/gallery
@@ -88,7 +92,8 @@ def bench_blackbox(wb, rng, n_maps=5, num_masks=6500, mesh=None):
                     mask_scale=12, num_mask_elements=2,
                     mask_fill_type="blur", blur_fill_sigma_percent=4,
                     num_masks=num_masks, seed=seed,
-                    prior_type="mean_ebp", mesh=mesh)
+                    prior_type="mean_ebp", mesh=mesh,
+                    score_precision=score_precision)
         return st.launch_evaluate()
 
     smap = launch(0)()  # warmup / compile
@@ -289,6 +294,15 @@ def main():
     _emit("blackbox STRise saliency maps/sec/chip (6500 masks, mean-EBP "
           "prior, blur fill, ResNet-101+L2 fused scorer)",
           bb, "maps/sec/chip", BASELINE_BB_MAPS_PER_SEC, times=bbt, per=1)
+
+    # The xfr-generate-bb CLI defaults score_precision='high' (ranking-
+    # grade bf16_3x matmuls; the library ctor default is the fast scan) —
+    # record the PRODUCTION generation rate too, not just the fast one.
+    bbh, bbht = bench_blackbox(wb, rng, n_maps=3, score_precision="high")
+    _emit("blackbox STRise saliency maps/sec/chip (6500 masks, "
+          "score_precision=high — the xfr-generate-bb CLI default)",
+          bbh, "maps/sec/chip", BASELINE_BB_MAPS_PER_SEC, times=bbht,
+          per=1)
 
     ev, evt = bench_eval(wb, rng)
     _emit("inpainting-game eval probe-method evals/sec/chip "
