@@ -334,7 +334,10 @@ def test_warm_cache_covers_registry():
     a registry decision).  Adding a canonical-shape program without a
     warm step — or a warm step that silently stops building its program —
     fails here; building an *unregistered* family raises in
-    Whitebox._kernel itself."""
+    Whitebox._kernel itself.  With >1 visible device (the 8-dev test
+    env), warm()'s --mesh auto pass must additionally build exactly the
+    warm_mesh families (round-4 ADVICE: the shard_map default-path
+    programs were never pre-seeded)."""
     from tests.fixtures import make_toy_wbnet
     from xfr_tpu.cli.warm_cache import warm
     from xfr_tpu.utils import programs
@@ -349,12 +352,13 @@ def test_warm_cache_covers_registry():
         programs.RECORD = False
     built = set(programs.BUILT)
     programs.BUILT.clear()
-    assert built == programs.warm_set(), (
+    expected = programs.warm_set() | programs.warm_mesh_set()
+    assert built == expected, (
         "warm_cache coverage drifted from the registry.\n"
         "flagged warm but not built by warm(): %s\n"
         "built by warm() but flagged lazy: %s" % (
-            sorted(programs.warm_set() - built),
-            sorted(built - programs.warm_set())))
+            sorted(expected - built),
+            sorted(built - expected)))
 
 
 def test_unregistered_program_family_raises():

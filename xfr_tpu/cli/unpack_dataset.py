@@ -24,6 +24,15 @@ import xfr_tpu
 def unpack_aligned(dataset_dir=None, force=False, verbose=True):
     """Extract subj-*.tar.gz under <dataset_dir>/IJBC; returns the list
     of subject ids actually unpacked."""
+    if not hasattr(tarfile, "data_filter"):
+        # PEP 706 filters (Python >= 3.12, or the 3.10.12+/3.11.4+
+        # backports) are the symlink-escape defense; refuse up front —
+        # before ANY archive is opened — rather than die mid-run with
+        # partially unpacked state on an old interpreter.
+        raise RuntimeError(
+            "xfr-unpack-dataset requires tarfile.data_filter "
+            "(Python >= 3.12 or a PEP 706 backport); this Python is "
+            "too old to extract untrusted archives safely")
     dataset_dir = dataset_dir or xfr_tpu.inpaintgame_dir
     ijbc = os.path.join(dataset_dir, "IJBC")
     if not os.path.isdir(ijbc):
@@ -43,14 +52,6 @@ def unpack_aligned(dataset_dir=None, force=False, verbose=True):
             continue
         if verbose:
             print("unpacking %s -> IJBC/aligned/%s" % (fname, subj))
-        if not hasattr(tarfile, "data_filter"):
-            # PEP 706 filters (Python >= 3.12, or the 3.10.12+/3.11.4+
-            # backports) are the symlink-escape defense; fail closed on
-            # interpreters that lack them rather than extract unsafely.
-            raise RuntimeError(
-                "xfr-unpack-dataset requires tarfile.data_filter "
-                "(Python >= 3.12 or a PEP 706 backport); this Python is "
-                "too old to extract untrusted archives safely")
         with tarfile.open(os.path.join(ijbc, fname), "r:gz") as tf:
             # refuse entries that would escape the dataset dir
             for member in tf.getmembers():

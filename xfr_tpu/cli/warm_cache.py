@@ -19,6 +19,13 @@ canonical batch size), the embeddings encode chunk, the eval-stage
 blend+encode programs (single-map scan, bit-packed fallback chunk, and
 the analysis stage's 4-method multi-map scan), and optionally the
 blackbox fused scorer + mask sampler (--bb).
+
+When more than one device is visible, a second pass re-runs the eval
+blend / wsebp sweep / blackbox scorer steps under ``auto_mesh()`` so
+the ``--mesh auto`` default-path shard_map programs land in the
+persistent cache too (it keys on compiled HLO, not in-process mesh
+identity) — multi-chip cold starts would otherwise pay the full
+compiles warm_cache exists to remove.
 """
 
 import argparse
@@ -28,7 +35,7 @@ import numpy as np
 
 
 def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
-         num_masks=6500, verbose=True, wb=None):
+         num_masks=6500, verbose=True, wb=None, mesh="auto"):
     import jax.numpy as jnp
 
     t_all = time.time()
@@ -155,7 +162,7 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
         gals = [(rng.rand(224, 224, 3) * 255).astype(np.uint8)
                 for _ in range(2)]
 
-        def _bb():
+        def _bb(bb_mesh=None):
             # same signature argument as _blend: production BB nets have
             # the full classifier (mean_ebp_prior's Pn is [1, n_classes])
             wb.net.reset_classifier()
@@ -173,10 +180,27 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
                             mask_fill_type="blur",
                             blur_fill_sigma_percent=4,
                             num_masks=num_masks, seed=0,
-                            prior_type="mean_ebp", score_precision=prec)
+                            prior_type="mean_ebp", score_precision=prec,
+                            mesh=bb_mesh)
                 st.launch_evaluate()()
 
         step("blackbox prior+masks+fused scorer", _bb)
+
+    # --mesh auto pass: re-run the default-path steps under a mesh so the
+    # shard_map program variants (xfr_tpu.utils.programs.warm_mesh_set())
+    # land in the persistent cache too — multi-chip cold starts would
+    # otherwise pay the full compiles of exactly the production programs.
+    if mesh == "auto":
+        from xfr_tpu.parallel.mesh import auto_mesh
+
+        mesh = auto_mesh()
+    if mesh is not None:
+        wb.use_mesh(mesh)
+        step("mesh: wsebp shard_map sweep", _ws)
+        step("mesh: eval blend+encode (mono scan)", _blend)
+        step("mesh: eval multi-map blend+encode", _blend_multi)
+        if bb:
+            step("mesh: blackbox scan scorer", lambda: _bb(mesh))
 
     total = time.time() - t_all
     if verbose:
@@ -191,9 +215,13 @@ def main(argv=None):
     parser.add_argument("--num-masks", type=int, default=6500)
     parser.add_argument("--no-bb", action="store_true",
                         help="skip the blackbox scorer programs")
+    parser.add_argument("--no-mesh", action="store_true",
+                        help="skip the --mesh auto shard_map program pass "
+                             "(it runs only when >1 device is visible)")
     args = parser.parse_args(argv)
     warm(args.net, args.batch_size, bb=not args.no_bb,
-         num_masks=args.num_masks)
+         num_masks=args.num_masks,
+         mesh=None if args.no_mesh else "auto")
 
 
 if __name__ == "__main__":

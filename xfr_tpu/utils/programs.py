@@ -10,17 +10,19 @@ without a warm step without anything failing):
    without a conscious entry.
 2. Each entry declares whether ``xfr_tpu.cli.warm_cache`` must pre-seed
    it (``warm=True``: a canonical-shape production program whose cold
-   compile a fresh process would otherwise pay).
+   compile a fresh process would otherwise pay; ``warm_mesh=True``: the
+   ``--mesh auto`` default-path variant of one — warmed whenever warm()
+   runs with more than one visible device, since the persistent XLA
+   cache keys on compiled HLO, not on the in-process mesh identity).
    ``tests/test_cli.py::test_warm_cache_covers_registry`` runs ``warm()``
    with build recording ON and asserts the built families equal the
-   ``warm=True`` set exactly — adding a ``warm=True`` program without a
-   warm step (or a warm step that silently stops building its program)
-   fails CI.
+   expected set exactly — adding a warm-flagged program without a warm
+   step (or a warm step that silently stops building its program) fails
+   CI.
 
-``warm=False`` families are legitimately lazy: per-mesh programs (their
-keys include ``id(mesh)``, so a generic warm pass cannot seed them),
-deprecated/alternate paths kept for A/Bs, and per-request variants whose
-signature space is unbounded.
+``warm=False`` families are legitimately lazy: deprecated/alternate
+paths kept for A/Bs and per-request variants whose signature space is
+unbounded.
 """
 
 from dataclasses import dataclass
@@ -30,6 +32,7 @@ from dataclasses import dataclass
 class Program:
     warm: bool
     desc: str
+    warm_mesh: bool = False
 
 
 PROGRAMS = {
@@ -56,26 +59,30 @@ PROGRAMS = {
                                        "scan-batched fused sweep (prod)"),
     "wsebp_sweep_select_batch": Program(False,
                                         "no-scan full-batch walk (A/B)"),
-    "wsebp_sweep_select_shmap": Program(False, "mesh sweep (per-mesh key)"),
+    "wsebp_sweep_select_shmap": Program(
+        False, "mesh sweep (--mesh auto default path)", warm_mesh=True),
     "wsebp_merge": Program(False,
                            "subtree map weight+merge (per-probe path; "
                            "the batched sweep fuses merge in-scan)"),
     # -- eval-stage blend+encode ---------------------------------------------
     "blend_encode": Program(True, "bit-packed mask blend+encode chunk"),
     "blend_encode_mono": Program(True, "monotone counts scan (T=101)"),
-    "blend_encode_mono_shmap": Program(False,
-                                       "mesh counts scan (per-mesh key)"),
+    "blend_encode_mono_shmap": Program(
+        False, "mesh counts scan (--mesh auto default path)",
+        warm_mesh=True),
     "blend_encode_mono_multi": Program(True, "4-method multi-map scan"),
     "blend_encode_mono_multi_shmap": Program(
-        False, "mesh multi-map scan (per-mesh key)"),
+        False, "mesh multi-map scan (--mesh auto default path)",
+        warm_mesh=True),
     "blend_encode_mono_multi_pair": Program(
         False, "cross-probe multi-pair scan (kept machinery, unwired)"),
     # -- blackbox STRise ------------------------------------------------------
     "strise_fused_scorer": Program(False,
                                    "per-chunk scorer (pallas/mesh A/B)"),
     "strise_scan_scorer": Program(True, "one-program scanned mask scorer"),
-    "strise_scan_scorer_shmap": Program(False,
-                                        "mesh scan scorer (per-mesh key)"),
+    "strise_scan_scorer_shmap": Program(
+        False, "mesh scan scorer (--mesh auto default path)",
+        warm_mesh=True),
     "strise_fused_scorer_pallas": Program(False,
                                           "pallas fused-blend scorer"),
     "strise_select_combine": Program(True,
@@ -101,3 +108,10 @@ def note_build(family):
 
 def warm_set():
     return {f for f, p in PROGRAMS.items() if p.warm}
+
+
+def warm_mesh_set():
+    """Families warm() must additionally build when it runs with a mesh
+    (more than one visible device): the --mesh auto default-path
+    shard_map variants of the canonical production programs."""
+    return {f for f, p in PROGRAMS.items() if p.warm_mesh}
