@@ -1,0 +1,108 @@
+"""Pin the numerics of the analysis plot helpers and the saliency
+overlay renderer across refactors (round-4 verdict #5: these functions
+were re-expressed in the repo's own idiom; the goldens were first
+generated from the pre-rewrite code and matched bit-for-bit, proving
+the rewrite changed prose, not outputs).
+
+The current goldens additionally carry the round-5 resize clip-parity
+fix (utils/image.py: skimage.transform.resize clips output to the input
+range by default, so the reference renderer never sees bicubic
+undershoot — our PIL resize didn't, and ``heat ** gamma`` NaN'd on the
+undershoot pixels where the reference has clean values).
+
+Regenerate (only if the *intended* outputs change):
+
+    XFR_REGEN_GOLDENS=1 python -m pytest tests/test_plot_helpers.py -q
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__),
+                           "plot_helper_goldens.npz")
+
+
+def _synthetic_grp(rng):
+    """A results table shaped like one (net, method) analysis group:
+    3 masks x 2 images, T=21 thresholds."""
+    T = 21
+    rows = []
+    for mask_id in range(3):
+        for img in range(2):
+            cls = np.clip(np.sort(rng.rand(T)) + rng.rand(T) * 0.05, 0, 1)
+            fpos = np.sort(rng.randint(0, 50, T))
+            tpos = np.sort(rng.randint(0, 80, T))
+            rows.append({
+                "MASK_ID": "%05d" % mask_id,
+                "CLS_AS_TWIN": cls,
+                "FALSE_POS": fpos.astype(np.float64),
+                "NEG": 50.0,
+                "TRUE_POS": tpos.astype(np.float64),
+                "POS": 80.0,
+            })
+    return pd.DataFrame(rows)
+
+
+def _compute():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from xfr_tpu import show
+    from xfr_tpu.inpainting_game import analysis as A
+
+    rng = np.random.RandomState(42)
+    grp = _synthetic_grp(rng)
+    out = {}
+
+    out["avg_balanced"] = A.avg_class_prob(grp, "CLS_AS_TWIN", True)
+    out["avg_unbalanced"] = A.avg_class_prob(grp, "CLS_AS_TWIN", False)
+
+    fig, ax = plt.subplots()
+    line, cls_at_fpr = A.plot_cls_vs_fpr(ax, grp, "net", "method", 1, True)
+    out["cls_line_x"] = np.asarray(line.get_xdata(), np.float64)
+    out["cls_line_y"] = np.asarray(line.get_ydata(), np.float64)
+    out["cls_at_far"] = np.array([cls_at_fpr[1e-2], cls_at_fpr[5e-2]],
+                                 np.float64)
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    A.plot_roc_curve(ax, grp, "net", "method", 1, True)
+    roc = ax.get_lines()[0]
+    out["roc_x"] = np.asarray(roc.get_xdata(), np.float64)
+    out["roc_y"] = np.asarray(roc.get_ydata(), np.float64)
+    plt.close(fig)
+
+    # overlay renderer: one normal map, one all-zero (suppressed) map,
+    # plus the blur variant
+    img = rng.rand(32, 32, 3)
+    smap = rng.rand(16, 16) ** 2
+    suppress = np.zeros(2)
+    over = show.ReturnComparison([img, img], [smap, np.zeros((16, 16))],
+                                 suppressMap=suppress)
+    out["overlay"] = over[0]
+    out["overlay_suppressed"] = over[1]
+    out["suppress_flags"] = suppress.copy()
+    out["overlay_blur"] = show.ReturnComparison(
+        [img], [smap], blur=True, scale_factor=0.7, gamma=0.5)[0]
+    out["overlay_noblend"] = show.ReturnComparison(
+        [img], [smap], overlap=False)[0]
+    return out
+
+
+def test_plot_helper_goldens():
+    got = _compute()
+    if os.environ.get("XFR_REGEN_GOLDENS"):
+        np.savez_compressed(GOLDEN_PATH, **got)
+        pytest.skip("regenerated goldens")
+    assert os.path.exists(GOLDEN_PATH), (
+        "goldens missing — run: XFR_REGEN_GOLDENS=1 python -m pytest "
+        "tests/test_plot_helpers.py")
+    golden = dict(np.load(GOLDEN_PATH))
+    assert set(golden) == set(got)
+    for k in golden:
+        np.testing.assert_array_equal(golden[k], np.asarray(got[k]),
+                                      err_msg=k)

@@ -192,67 +192,94 @@ def tickformatter(x, pos):
     return "%d%%" % x if float.is_integer(float(x)) else ""
 
 
+def _pooled(grp, col):
+    """Sum a per-row count column (scalar or T-vector curve) across the
+    group's rows: the sweep counts pool across images/masks before any
+    rate is formed."""
+    return np.stack(grp[col].values.tolist()).sum(axis=0)
+
+
+def _method_color(method_idx):
+    # C0 is reserved for the ground-truth/reference line in the figures
+    return "C%d" % (method_idx + 1)
+
+
+def _finish_rate_axes(ax, title, xlabel, ylabel, **extra):
+    """Shared cosmetics of the rate-vs-rate panels: whole-percent tick
+    labels, dotted grid, in-axes legend."""
+    import matplotlib.pyplot as plt
+
+    if title is not None:
+        ax.set_title(title)
+    if ylabel is not None:
+        ax.set(ylabel=ylabel)
+    ax.set(xlabel=xlabel, **extra)
+    ax.grid(which="both", linestyle=":")
+    ax.xaxis.set_major_formatter(plt.FuncFormatter(tickformatter))
+    ax.yaxis.set_major_formatter(plt.FuncFormatter(tickformatter))
+    ax.legend()
+
+
 def avg_class_prob(grp, classifyCol, balance_masks):
-    """Per-mask-balanced mean classification curve
-    (plot_inpainting_game.py:515-527)."""
-    if balance_masks:
-        per_mask = [np.stack(mg[classifyCol].values.tolist()).mean(axis=0)
-                    for _, mg in grp.groupby("MASK_ID")]
-        return np.stack(per_mask).mean(axis=0)
-    return np.stack(grp[classifyCol].values).mean(axis=0)
+    """Mean classification curve over the group's rows.
+
+    With ``balance_masks`` every inpainting mask contributes equally no
+    matter how many probe images carry it: average within each MASK_ID
+    first, then across masks (the benchmark's mask-balancing
+    convention; results parity pinned by tests/test_plot_helpers.py and
+    the e2e results.csv tests)."""
+    if not balance_masks:
+        return np.stack(grp[classifyCol].values).mean(axis=0)
+    per_mask = grp.groupby("MASK_ID")[classifyCol].apply(
+        lambda curves: np.stack(curves.values.tolist()).mean(axis=0))
+    return np.stack(per_mask.values).mean(axis=0)
+
+
+def classification_at_far(fpr, curve, targets=(1e-2, 5e-2)):
+    """Read the classification curve off at target false-alarm rates —
+    the headline numbers of results.csv.  The threshold sweep samples
+    FAR on a grid, so each target generally falls between two samples;
+    interpolate between the two nearest with inverse-distance weights
+    (a target landing exactly on a sample gets weight ~1 on it)."""
+    fpr = np.asarray(fpr, np.float64)
+    out = {}
+    for target in targets:
+        dist = np.abs(fpr - target)
+        nearest = np.argsort(dist)[:2]
+        w = 1 / (dist[nearest] + 1e-9)
+        w = w / np.sum(w)
+        out[target] = float(np.sum(w * curve[nearest]))
+    return out
 
 
 def plot_roc_curve(ax, grp, hnet, label, method_idx, balance_masks,
                    leftmost=True, classifyCol="CLS_AS_TWIN"):
-    """(plot_inpainting_game.py:529-566)"""
-    import matplotlib.pyplot as plt
-
-    fpos = np.stack(grp["FALSE_POS"].values).sum(axis=0)
-    neg = np.stack(grp["NEG"].values).sum()
-    tpos = np.stack(grp["TRUE_POS"].values).sum(axis=0)
-    pos = np.stack(grp["POS"].values).sum()
+    """One method's pooled twin-detector ROC across the threshold sweep
+    (counts pooled over the group's rows, then rated)."""
+    fpos, neg = _pooled(grp, "FALSE_POS"), _pooled(grp, "NEG")
+    tpos, pos = _pooled(grp, "TRUE_POS"), _pooled(grp, "POS")
     ax.plot(100 * fpos / neg, 100 * tpos / pos,
-            color="C%d" % (method_idx + 1), label=label)
-    if hnet is not None:
-        ax.set_title(hnet)
-    if leftmost:
-        ax.set(ylabel="True Positive Rate\n(Sensitivity)")
-    ax.set(xlabel="False Positive Rate\n(1-Specificity)")
-    ax.grid(which="both", linestyle=":")
-    ax.xaxis.set_major_formatter(plt.FuncFormatter(tickformatter))
-    ax.yaxis.set_major_formatter(plt.FuncFormatter(tickformatter))
-    ax.legend()
+            color=_method_color(method_idx), label=label)
+    _finish_rate_axes(
+        ax, hnet, "False Positive Rate\n(1-Specificity)",
+        "True Positive Rate\n(Sensitivity)" if leftmost else None)
 
 
 def plot_cls_vs_fpr(ax, grp, hnet, label, method_idx, balance_masks,
                     leftmost=True, classifyCol="CLS_AS_TWIN"):
-    """Core plot + cls@FAR extraction (plot_inpainting_game.py:568-618)."""
-    import matplotlib.pyplot as plt
-
-    cls_as_nonmate = avg_class_prob(grp, classifyCol, balance_masks)
-    fpos = np.stack(grp["FALSE_POS"].values.tolist()).sum(axis=0)
-    neg = np.stack(grp["NEG"].values.tolist()).sum()
-    fpr = fpos.astype(np.float64) / neg
-
-    cls_at_fpr = {}
-    for target in [1e-2, 5e-2]:
-        fpr_inds = np.argsort(np.abs(fpr - target))[:2]
-        dists = np.abs(fpr[fpr_inds] - target)
-        w = 1 / (dists + 1e-9)
-        w = w / np.sum(w)
-        cls_at_fpr[target] = float(np.sum(w * cls_as_nonmate[fpr_inds]))
-
-    line, = ax.plot(100 * fpr, 100 * cls_as_nonmate,
-                    color="C%d" % (method_idx + 1), label=label, linewidth=2)
-    if hnet is not None:
-        ax.set_title(hnet)
-    if leftmost:
-        ax.set(ylabel="Classified as Inpainted Non-mate")
-    ax.set(xscale="symlog", xlabel="False Alarm Rate", xlim=(0, 100))
-    ax.grid(which="both", linestyle=":")
-    ax.xaxis.set_major_formatter(plt.FuncFormatter(tickformatter))
-    ax.yaxis.set_major_formatter(plt.FuncFormatter(tickformatter))
-    ax.legend()
+    """One method's classification-vs-false-alarm panel; returns the
+    plotted line and its cls@FAR readouts (the results.csv numbers)."""
+    curve = avg_class_prob(grp, classifyCol, balance_masks)
+    fpr = _pooled(grp, "FALSE_POS").astype(np.float64) \
+        / _pooled(grp, "NEG")
+    cls_at_fpr = classification_at_far(fpr, curve)
+    line, = ax.plot(100 * fpr, 100 * curve,
+                    color=_method_color(method_idx), label=label,
+                    linewidth=2)
+    _finish_rate_axes(
+        ax, hnet, "False Alarm Rate",
+        "Classified as Inpainted Non-mate" if leftmost else None,
+        xscale="symlog", xlim=(0, 100))
     return line, cls_at_fpr
 
 

@@ -43,45 +43,78 @@ def savefig(fn, fig=None, npdata=None, output_dir=None, transparent=False):
                  **npdata)
 
 
+def overlay_saliency(img, smap, overlap=True, blur=False, blur_sigma=0.02,
+                     scale_factor=1.0, gamma=0.8):
+    """Render one saliency map over one image.
+
+    The map is shifted to zero, peak-normalized, clipped at
+    ``scale_factor`` of its peak (then re-normalized so the clip value
+    maps to full intensity), and bicubic-resized to the image extents;
+    ``blur`` re-normalizes after a Gaussian whose sigma is a fraction of
+    the image size.  With ``overlap`` the jet-colored map is alpha-
+    composited onto the image with per-pixel weight ``heat**gamma``;
+    without it the resized heat map itself is returned.
+
+    Returns None when the map is flat (zero dynamic range — nothing to
+    show); callers decide what a missing overlay means.  Output parity
+    with the reference renderer (show.py:88-129) is pinned by
+    tests/test_plot_helpers.py and the demo goldens.
+    """
+    heat = np.array(smap, np.float64, copy=True)
+    heat -= heat.min()
+    if not heat.max() > 0:
+        return None
+    heat /= heat.max()
+    heat = np.minimum(heat, scale_factor)
+    heat /= scale_factor
+    heat = _resize(heat, img.shape[:2], order=3)
+    if blur:
+        heat = _gaussian(heat, blur_sigma * max(img.shape[:2]))
+        heat -= heat.min()
+        heat /= heat.max()
+    if not overlap:
+        return heat
+    import matplotlib.pyplot as plt
+
+    colors = np.delete(plt.get_cmap("jet")(heat), 3, 2)
+    alpha = (heat ** gamma).reshape(heat.shape + (1,))
+    return (1 - alpha) * img + alpha * colors
+
+
 def ReturnComparison(imgVec, attMaps, suppressMap=None, overlap=True,
                      blur=False, blur_sigma=0.02, scale_factor=1.0,
                      gamma=0.8):
-    """Overlay saliency maps on images via the jet colormap
-    (reference: show.py:88-129)."""
-    import matplotlib.pyplot as plt
+    """Batch overlay rendering (API name kept for reference parity).
 
+    ``suppressMap`` is updated IN PLACE: an entry flips to 1 where the
+    map was flat and the bare image was passed through; entries pre-set
+    to nonzero skip rendering entirely.
+    """
     if suppressMap is None:
         suppressMap = np.zeros(len(imgVec))
     out_maps = []
     for i, img in enumerate(imgVec):
-        att = np.array(attMaps[i], np.float64, copy=True)
-        att -= att.min()
-        if att.max() > 0:
-            att /= att.max()
-            att = np.minimum(att, scale_factor)
-            att /= scale_factor
-        else:
+        rendered = None
+        if suppressMap[i] == 0:
+            rendered = overlay_saliency(
+                img, attMaps[i], overlap=overlap, blur=blur,
+                blur_sigma=blur_sigma, scale_factor=scale_factor,
+                gamma=gamma)
+        if rendered is None:
             suppressMap[i] = 1
-        att = _resize(att, img.shape[:2], order=3)
-        if blur:
-            att = _gaussian(att, blur_sigma * max(img.shape[:2]))
-            att -= att.min()
-            att /= att.max()
-        cmap = plt.get_cmap("jet")
-        att_v = np.delete(cmap(att), 3, 2)
-        if overlap:
-            att = (1 - att ** gamma).reshape(att.shape + (1,)) * img + \
-                (att ** gamma).reshape(att.shape + (1,)) * att_v
-        out_maps.append(att if suppressMap[i] == 0 else img)
+            out_maps.append(img)
+        else:
+            out_maps.append(rendered)
     return out_maps
 
 
 def blend_saliency_map(image, smap, blur=False, blur_sigma=0.02,
                        scale_factor=1.0, gamma=0.8):
-    """Single-image overlay (reference: show.py:46-86)."""
-    return ReturnComparison([image], [smap], blur=blur,
-                            blur_sigma=blur_sigma, scale_factor=scale_factor,
-                            gamma=gamma)[0]
+    """Single-image overlay; a flat map passes the image through
+    (reference: show.py:46-86)."""
+    out = overlay_saliency(image, smap, blur=blur, blur_sigma=blur_sigma,
+                           scale_factor=scale_factor, gamma=gamma)
+    return image if out is None else out
 
 
 def processSaliency(img, attMap):

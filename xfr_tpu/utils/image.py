@@ -14,12 +14,18 @@ import os
 import numpy as np
 
 
-def resize(img, shape, order=1, preserve_range=True, anti_aliasing=None):
+def resize(img, shape, order=1, preserve_range=True, anti_aliasing=None,
+           clip=True):
     """skimage.transform.resize-style float resize via PIL.
 
     img: HxW or HxWxC float (any range) or uint8 array.
     shape: (out_h, out_w).
     order: 0 (nearest), 1 (bilinear), 3 (bicubic).
+    clip: clamp the output to the input's [min, max] — skimage's default,
+        and load-bearing for the saliency overlay: bicubic undershoot
+        below 0 would otherwise NaN under the ``heat ** gamma`` blend
+        (the reference's skimage call clips, so it never sees this).
+        No-op for order 0/1 (convex interpolation can't overshoot).
     """
     import PIL.Image
 
@@ -42,6 +48,8 @@ def resize(img, shape, order=1, preserve_range=True, anti_aliasing=None):
     else:
         out = np.stack([_one(img[..., c]) for c in range(img.shape[-1])],
                        axis=-1)
+    if clip and order not in (0, 1):
+        out = np.clip(out, float(img.min()), float(img.max()))
     if not preserve_range and img.dtype == np.uint8:
         out = out / 255.0
     return out
