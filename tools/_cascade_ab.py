@@ -60,9 +60,9 @@ def main():
     for casc in (False, True):
         t = np.asarray(times[casc])
         print("cascade=%s: median %.1f ms/batch-8 (%.1f ms/probe -> "
-              "sweep-only bound %.1f maps/s)  raw %s"
+              "sweep-only bound %.1f maps/s at 4 maps/probe)  raw %s"
               % (casc, np.median(t) * 1e3, np.median(t) * 1e3 / B,
-                 B / np.median(t),
+                 4 * B / np.median(t),
                  [round(float(x) * 1e3, 1) for x in t]), flush=True)
 
 
