@@ -210,3 +210,41 @@ def test_train_and_eval_step_sharded_match_single():
     lm, hm = evm(pm, x_sh, y_sh)
     np.testing.assert_allclose(float(lm), float(l1), rtol=1e-5)
     assert int(hm) == int(h1)
+
+
+def test_train_step_freezes_bn_stats_by_default():
+    """BatchNorm running stats are statistics, not weights: the default
+    train step zeroes their gradients (descending through them collapses
+    the trunk — finetune.py docstring); train_bn_stats=True restores the
+    raw step."""
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.train.finetune import make_train_step
+
+    wb = make_toy_wbnet(num_classes=8, seed=3)
+    net = wb.net
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 3, 224, 224).astype(np.float32) * 50)
+    y = jnp.asarray((np.arange(4) % 8).astype(np.int32))
+    bn_keys = [(p, k) for p, lv in net.params.items() for k in lv
+               if k in ("mean", "var")]
+    assert bn_keys
+
+    step, init = make_train_step(net.graph, net.classifier_pname)
+    p, o = init(net.params)
+    p, o, loss0 = step(p, o, x, y)
+    p, o, loss1 = step(p, o, x, y)
+    for pn, k in bn_keys:
+        np.testing.assert_array_equal(np.asarray(p[pn][k]),
+                                      np.asarray(net.params[pn][k]))
+    assert any(not np.array_equal(np.asarray(p[pn]["w"]),
+                                  np.asarray(net.params[pn]["w"]))
+               for pn, lv in net.params.items() if "w" in lv)
+    assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
+
+    step2, init2 = make_train_step(net.graph, net.classifier_pname,
+                                   train_bn_stats=True)
+    p2, o2 = init2(net.params)
+    p2, o2, _ = step2(p2, o2, x, y)
+    assert any(not np.array_equal(np.asarray(p2[pn][k]),
+                                  np.asarray(net.params[pn][k]))
+               for pn, k in bn_keys)

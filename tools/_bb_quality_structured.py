@@ -32,7 +32,7 @@ from xfr_tpu.blackbox import STRise
 N_CLASSES = 32
 N_PER_CLASS = 12
 BATCH = 8
-STEPS = 240
+STEPS = 600
 NUM_MASKS = 2048
 
 
@@ -81,15 +81,35 @@ def main():
         "b": jnp.zeros((N_CLASSES,), jnp.float32)}
     net._num_classes = N_CLASSES
 
-    step, init = make_train_step(net.graph, "fc2", learning_rate=3e-3)
+    import optax
+    # adam + clip: the Multiply(50)-scaled cosine logits make raw steps
+    # blow the trunk into a dead constant-embedding region mid-run
+    # (measured: loss 9.3 -> 2.8 by step 180, then emb std -> 0); BN
+    # running stats frozen by make_train_step's default.
+    step, init = make_train_step(
+        net.graph, "fc2",
+        optimizer=optax.chain(optax.clip_by_global_norm(1.0),
+                              optax.adam(1e-4)))
     params, opt = init(net.params)
+    from xfr_tpu.ebp import interpreter as I
+    monitor = jax.jit(lambda p, x: I.forward_clean(
+        net.graph, p, x)[net.encode_tensor])
     t0 = time.time()
+    good = params
     for s in range(STEPS):
         idx = jnp.asarray(rng.randint(0, len(ims), BATCH))
         params, opt, loss = step(params, opt, x_dev[idx], y_dev[idx])
-        if s % 40 == 0 or s == STEPS - 1:
-            print("step %3d loss %.4f (%.0f s)"
-                  % (s, float(loss), time.time() - t0), flush=True)
+        if s % 30 == 0 or s == STEPS - 1:
+            emb = np.asarray(monitor(params, x_dev[:2]))
+            print("step %3d loss %.4f  emb finite=%s std %.3f (%.0f s)"
+                  % (s, float(loss), np.isfinite(emb).all(), emb.std(),
+                     time.time() - t0), flush=True)
+            if emb.std() < 1e-2 or not np.isfinite(emb).all():
+                print("trunk collapsed at step %d — reverting to last "
+                      "good params" % s, flush=True)
+                params = good
+                break
+            good = params
 
     # trained trunk + the original full classifier back in place
     net.params = dict(params)
@@ -118,9 +138,8 @@ def main():
                     num_masks=NUM_MASKS, seed=7, prior_type="mean_ebp",
                     score_precision=prec)
         t0 = time.time()
-        st.score_masks()
+        st.evaluate()
         s = np.asarray(st.mask_scores, np.float64).ravel()
-        st.compute_saliency_map()
         scores[prec] = s
         smaps[prec] = np.asarray(st.saliency_map, np.float64).ravel()
         print("prec=%-7s  %.1f s   spread std %.3e  range %.3e"

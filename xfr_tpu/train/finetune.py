@@ -25,12 +25,23 @@ from xfr_tpu.parallel.mesh import classifier_tp_shardings, data_sharding
 
 def make_train_step(graph, classifier_pname, mesh=None, dp_axis="dp",
                     mp_axis="mp", learning_rate=1e-3, optimizer=None,
-                    weight_decay=0.0):
+                    weight_decay=0.0, train_bn_stats=False):
     """Returns (step_fn, init_fn).
 
     step_fn(params, opt_state, x, y) -> (params, opt_state, loss)
       x: [B,C,H,W] images sharded over dp; y: [B] int labels.
     init_fn(params) -> (placed_params, opt_state)
+
+    BatchNorm running statistics (the ``mean``/``var`` leaves of
+    batchnorm2d params) are FROZEN by default: they are statistics, not
+    weights, and descending the loss through them collapses the trunk
+    (blow up ``var`` -> all features shrink -> uniform logits; measured
+    in tools/_bb_quality_structured.py).  This is the analog of the
+    reference's freeze_batchnorm_stats (xfr/utils.py) — there is no
+    stat-UPDATE path here because forward_clean normalizes with the
+    stored stats (inference-mode BN), matching how the frozen matcher
+    checkpoints were consumed.  ``train_bn_stats=True`` restores the raw
+    full-gradient step.
     """
     tx = optimizer or optax.sgd(learning_rate, momentum=0.9)
     if weight_decay:
@@ -42,9 +53,18 @@ def make_train_step(graph, classifier_pname, mesh=None, dp_axis="dp",
         loss = optax.softmax_cross_entropy_with_integer_labels(logits, y)
         return jnp.mean(loss)
 
+    def mask_bn_stats(grads):
+        if train_bn_stats:
+            return grads
+        return {
+            pname: {k: (jnp.zeros_like(g) if k in ("mean", "var") else g)
+                    for k, g in leaves.items()}
+            for pname, leaves in grads.items()}
+
     def step(params, opt_state, x, y):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
-        updates, opt_state = tx.update(grads, opt_state, params)
+        updates, opt_state = tx.update(mask_bn_stats(grads), opt_state,
+                                       params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
