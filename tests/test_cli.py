@@ -350,6 +350,9 @@ def test_warm_cache_covers_registry():
              num_masks=16, verbose=False, wb=wb)
     finally:
         programs.RECORD = False
+    # warm() must not permanently re-route the caller-provided wb onto
+    # auto_mesh: its mesh pass saves/restores the prior (un-meshed) state
+    assert wb.mesh is None
     built = set(programs.BUILT)
     programs.BUILT.clear()
     expected = programs.warm_set() | programs.warm_mesh_set()
@@ -397,6 +400,18 @@ def test_unpack_dataset_cli(tmp_path):
 
     # idempotent: second run skips everything unless --force
     assert unpack_dataset.unpack_aligned(str(tmp_path), verbose=False) == []
+
+    # pre-PEP-706 interpreters: a fully-unpacked tree stays a no-op
+    # (defensive startup calls / resumes keep working), but any run that
+    # would actually extract fails closed BEFORE opening an archive
+    with pytest.MonkeyPatch.context() as mp:
+        mp.delattr(tarfile, "data_filter")
+        assert unpack_dataset.unpack_aligned(str(tmp_path),
+                                             verbose=False) == []
+        with pytest.raises(RuntimeError, match="data_filter"):
+            unpack_dataset.unpack_aligned(str(tmp_path), force=True,
+                                          verbose=False)
+
     assert unpack_dataset.unpack_aligned(str(tmp_path), force=True,
                                          verbose=False) == ["101", "202"]
 

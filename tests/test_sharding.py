@@ -248,3 +248,14 @@ def test_train_step_freezes_bn_stats_by_default():
     assert any(not np.array_equal(np.asarray(p2[pn][k]),
                                   np.asarray(net.params[pn][k]))
                for pn, k in bn_keys)
+
+    # weight_decay must not defeat the freeze: add_decayed_weights runs
+    # inside the optimizer chain AFTER the gradient mask, contributing
+    # wd*param to every leaf's update — the step masks the updates too
+    step3, init3 = make_train_step(net.graph, net.classifier_pname,
+                                   weight_decay=1e-2)
+    p3, o3 = init3(net.params)
+    p3, o3, _ = step3(p3, o3, x, y)
+    for pn, k in bn_keys:
+        np.testing.assert_array_equal(np.asarray(p3[pn][k]),
+                                      np.asarray(net.params[pn][k]))

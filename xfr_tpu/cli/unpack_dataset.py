@@ -24,22 +24,16 @@ import xfr_tpu
 def unpack_aligned(dataset_dir=None, force=False, verbose=True):
     """Extract subj-*.tar.gz under <dataset_dir>/IJBC; returns the list
     of subject ids actually unpacked."""
-    if not hasattr(tarfile, "data_filter"):
-        # PEP 706 filters (Python >= 3.12, or the 3.10.12+/3.11.4+
-        # backports) are the symlink-escape defense; refuse up front —
-        # before ANY archive is opened — rather than die mid-run with
-        # partially unpacked state on an old interpreter.
-        raise RuntimeError(
-            "xfr-unpack-dataset requires tarfile.data_filter "
-            "(Python >= 3.12 or a PEP 706 backport); this Python is "
-            "too old to extract untrusted archives safely")
     dataset_dir = dataset_dir or xfr_tpu.inpaintgame_dir
     ijbc = os.path.join(dataset_dir, "IJBC")
     if not os.path.isdir(ijbc):
         raise FileNotFoundError(
             "no IJBC/ directory under %r — point --dataset-dir at the "
             "inpainting-game release (see the reference README)" % dataset_dir)
-    done = []
+
+    # Compute the work list first: a fully-unpacked tree stays a no-op on
+    # any interpreter (idempotent startup calls / resumes keep working).
+    work = []
     for fname in sorted(os.listdir(ijbc)):
         m = re.match(r"subj-(\d+)\.tar\.gz$", fname)
         if not m:
@@ -50,6 +44,20 @@ def unpack_aligned(dataset_dir=None, force=False, verbose=True):
             if verbose:
                 print("skip %s (aligned/%s exists)" % (fname, subj))
             continue
+        work.append((fname, subj))
+
+    if work and not hasattr(tarfile, "data_filter"):
+        # PEP 706 filters (Python >= 3.12, or the 3.10.12+/3.11.4+
+        # backports) are the symlink-escape defense; refuse before ANY
+        # archive is opened — rather than die mid-run with partially
+        # unpacked state on an old interpreter.
+        raise RuntimeError(
+            "xfr-unpack-dataset requires tarfile.data_filter "
+            "(Python >= 3.12 or a PEP 706 backport); this Python is "
+            "too old to extract untrusted archives safely")
+
+    done = []
+    for fname, subj in work:
         if verbose:
             print("unpacking %s -> IJBC/aligned/%s" % (fname, subj))
         with tarfile.open(os.path.join(ijbc, fname), "r:gz") as tf:

@@ -195,12 +195,29 @@ def warm(net_name="resnetv4_pytorch", batch_size=8, bb=True,
 
         mesh = auto_mesh()
     if mesh is not None:
+        # The mesh pass must not permanently re-route a caller-provided
+        # wb onto auto_mesh: save and restore its mesh state (use_mesh
+        # also replicates params and rounds batch_size to the dp size).
+        prev_mesh, prev_bs = wb.mesh, wb.batch_size
         wb.use_mesh(mesh)
         step("mesh: wsebp shard_map sweep", _ws)
         step("mesh: eval blend+encode (mono scan)", _blend)
         step("mesh: eval multi-map blend+encode", _blend_multi)
         if bb:
             step("mesh: blackbox scan scorer", lambda: _bb(mesh))
+        wb.batch_size = prev_bs
+        if prev_mesh is not None:
+            wb.use_mesh(prev_mesh)
+        else:
+            import jax
+
+            wb.mesh = None
+            # un-replicate: single-device programs expect params placed
+            # on (or placeable to) one device, not mesh-committed
+            wb.net.params = jax.device_put(wb.net.params, jax.devices()[0])
+            if wb.net._orig_classifier is not None:
+                wb.net._orig_classifier = jax.device_put(
+                    wb.net._orig_classifier, jax.devices()[0])
 
     total = time.time() - t_all
     if verbose:

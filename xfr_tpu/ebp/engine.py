@@ -1143,6 +1143,9 @@ class Whitebox:
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         sweep_dt = self._wsebp_dtype
+        # snapshot at build time (the cache key records this value; a
+        # trace-time self read could diverge from it after a flag flip)
+        casc = bool(self.wsebp_cascade)
         mesh = self.mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -1163,10 +1166,10 @@ class Whitebox:
                 graph, params, values, posvals, elems,
                 vals.astype(x.dtype), subtree_mode=mode, eps=eps,
                 with_bias=wb, n_buckets=n_buckets, row_shard=row_shard,
-                cascade=bool(self.wsebp_cascade))
+                cascade=casc)
 
         return self._kernel(("wsebp_sweep", mode, wb, n_buckets,
-                             str(sweep_dt), bool(self.wsebp_cascade),
+                             str(sweep_dt), casc,
                              mesh_key(mesh)), lambda: fn)
 
     def _wsebp_sweep_select_fn(self, topk, do_max, n_buckets=12):
@@ -1193,6 +1196,8 @@ class Whitebox:
         else:
             row_shard = None
 
+        casc = bool(self.wsebp_cascade)  # snapshot: key records this
+
         @jax.jit
         def fn(params, x, elems, vals, scores):
             params, x = self._prep(params, x, sweep_dt)
@@ -1202,13 +1207,13 @@ class Whitebox:
                 graph, params, values, posvals, elems,
                 vals.astype(x.dtype), subtree_mode=mode, eps=eps,
                 with_bias=wb, n_buckets=n_buckets, row_shard=row_shard,
-                cascade=bool(self.wsebp_cascade))
+                cascade=casc)
             return _wsebp_select_merge(P_out, maxes, scores, topk,
                                        do_max, eps)
 
         return self._kernel(("wsebp_sweep_select", mode, wb, n_buckets,
                              int(topk), bool(do_max), str(sweep_dt),
-                             bool(self.wsebp_cascade),
+                             casc,
                              mesh_key(mesh)), lambda: fn)
 
     def _wsebp_sweep_select_scan_fn(self, topk, do_max, n_buckets=12,
@@ -1324,6 +1329,8 @@ class Whitebox:
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         sweep_dt = self._wsebp_dtype
 
+        casc = bool(self.wsebp_cascade)  # snapshot: key records this
+
         @jax.jit
         def fn(params, x, elems, vals, scores):
             # x [B,...]; elems/vals/scores [B, n_cand]
@@ -1334,7 +1341,7 @@ class Whitebox:
                 graph, params, values, posvals, elems.T,
                 vals.T.astype(x.dtype), subtree_mode=mode, eps=eps,
                 with_bias=wb, n_buckets=n_buckets,
-                cascade=bool(self.wsebp_cascade))
+                cascade=casc)
 
             def sel(Pb, mb, sb):
                 return _wsebp_select_merge(Pb[:, None], mb, sb, topk,
@@ -1344,7 +1351,7 @@ class Whitebox:
 
         return self._kernel(("wsebp_sweep_select_batch", mode, wb,
                              n_buckets, int(topk), bool(do_max),
-                             str(sweep_dt), bool(self.wsebp_cascade)),
+                             str(sweep_dt), casc),
                             lambda: fn)
 
     def _wsebp_sweep_select_shmap_fn(self, topk, do_max, n_buckets=12):

@@ -65,7 +65,11 @@ def make_train_step(graph, classifier_pname, mesh=None, dp_axis="dp",
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
         updates, opt_state = tx.update(mask_bn_stats(grads), opt_state,
                                        params)
-        params = optax.apply_updates(params, updates)
+        # Mask the UPDATES too, not just the gradients: weight_decay's
+        # add_decayed_weights contributes wd*param to every leaf's
+        # update regardless of its (zeroed) gradient, which would decay
+        # the frozen running stats toward 0.
+        params = optax.apply_updates(params, mask_bn_stats(updates))
         return params, opt_state, loss
 
     if mesh is None:
