@@ -364,6 +364,30 @@ def test_warm_cache_covers_registry():
             sorted(built - expected)))
 
 
+def test_warm_cache_restores_caller_mesh():
+    """The other arm of warm()'s save/restore: a wb that arrives ALREADY
+    meshed must leave on its own mesh (not auto_mesh's), with its rounded
+    batch size intact and a sharded program still runnable."""
+    import jax
+
+    from tests.fixtures import make_toy_wbnet
+    from xfr_tpu.cli.warm_cache import warm
+    from xfr_tpu.parallel.mesh import make_mesh
+
+    wb = make_toy_wbnet(num_classes=6, seed=4)
+    mesh2 = make_mesh((2, 1), ("dp", "mp"),
+                      devices=jax.devices()[:2])  # != auto_mesh's 8-dev
+    wb.use_mesh(mesh2)
+    bs = wb.batch_size
+    warm(net_name="resnetv4_pytorch", batch_size=2, bb=False,
+         verbose=False, wb=wb)
+    assert wb.mesh is mesh2
+    assert wb.batch_size == bs
+    rng = np.random.RandomState(0)
+    emb = wb.embeddings(rng.rand(3, 3, 224, 224).astype(np.float32))
+    assert emb.shape == (3, 12) and np.isfinite(emb).all()
+
+
 def test_unregistered_program_family_raises():
     from tests.fixtures import make_toy_wbnet
     from xfr_tpu.utils import programs
