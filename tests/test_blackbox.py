@@ -248,6 +248,46 @@ def test_launch_evaluate_matches_evaluate():
                                st_e.saliency_map, rtol=1e-6)
 
 
+def test_fused_launch_drain_contract():
+    """_score_masks_launch's returned drain must honor its contract even
+    when the fused finisher armed (want_fused_finish=True): the fused
+    program computes the probe/ref/gallery scores on device, so a drain
+    that ran the generic path would read attributes that were never set
+    (or stale ones from a previous probe on a reused instance)."""
+    from tests.fixtures import make_toy_wbnet
+
+    probe = np.full((224, 224, 3), 30, np.uint8)
+    probe[32:80, 32:80] = 220
+    gal = np.full((224, 224, 3), 30, np.uint8)
+    wb = make_toy_wbnet(num_classes=4, seed=0)
+    net_dict = {("resnetv6_pytorch", 6): wb}
+    kwargs = dict(probe=probe, refs=[probe], gallery=[gal],
+                  black_box="resnetv6_pytorch", net_dict=net_dict,
+                  prior_type="uniform", num_masks=64, mask_scale=28,
+                  num_mask_elements=1, mask_fill_type="gray", seed=5)
+    st_a = STRise(**kwargs)
+    st_a.evaluate()
+
+    st = STRise(**kwargs)
+    st.priors[st.prior_type]()
+    st.generate_masks()
+    st.apply_masks()
+    drain = st._score_masks_launch(want_fused_finish=True)
+    assert st._fused_finish is not None  # the fused path really armed
+    drain()  # caller follows the documented drain contract
+    np.testing.assert_allclose(st.mask_scores, st_a.mask_scores,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(st.original_probe_ref_scores,
+                                  st_a.original_probe_ref_scores)
+    np.testing.assert_array_equal(st.original_probe_gallery_scores,
+                                  st_a.original_probe_gallery_scores)
+    np.testing.assert_array_equal(st.masked_probe_ref_scores,
+                                  st_a.masked_probe_ref_scores)
+    # the fused drain also sets the map (documented superset)
+    np.testing.assert_allclose(st.saliency_map, st_a.saliency_map,
+                               rtol=1e-6)
+
+
 def test_scan_scorer_matches_chunked():
     """The single-program scanned mask scorer (single-chip path) must
     agree with the per-chunk fused scorer it replaced."""

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from xfr_tpu.blackbox import masks as M
-from xfr_tpu.parallel.mesh import mesh_key
 from xfr_tpu.utils.image import center_crop
 
 
@@ -490,8 +489,6 @@ class STRise:
         STRise instances via the net kernel cache like _fused_scorer;
         the key includes nchunk, so each distinct num_masks compiles
         once."""
-        from xfr_tpu.models.resnet101 import preprocess_resnet101_batch
-
         wb = self.resnet_net
         local = self._scorer_scan_local()
 
@@ -538,25 +535,12 @@ class STRise:
         scan win under ``--mesh auto`` instead of falling back to the
         per-chunk dispatch loop."""
         wb = self.resnet_net
-        mesh = self.mesh
-        local = self._scorer_scan_local()
-        from jax.sharding import PartitionSpec as Pspec
-
-        def build():
-            @jax.jit
-            def score_all(params, masks_c, probe, fill, ref_e, gal_e):
-                lp = jax.shard_map(
-                    local, mesh=mesh,
-                    in_specs=(Pspec(), Pspec("dp"), Pspec(), Pspec(),
-                              Pspec(), Pspec()),
-                    out_specs=(Pspec("dp"), Pspec("dp")))
-                return lp(params, masks_c, probe, fill, ref_e, gal_e)
-
-            return score_all
-
-        return wb._kernel(
-            ("strise_scan_scorer_shmap", wb.net.encode_tensor, nchunk, bs,
-             mesh_key(mesh)), build, precision=self.score_precision)
+        # args: (params, masks_c, probe, fill, ref_e, gal_e) — the chunk
+        # axis of masks_c is the only sharded input
+        return wb._shmap_kernel(
+            ("strise_scan_scorer_shmap", wb.net.encode_tensor, nchunk, bs),
+            self._scorer_scan_local(), sharded={1}, n_out=2,
+            precision=self.score_precision, mesh=self.mesh)
 
     def _fused_scorer_pallas(self):
         """Scorer chunk using the Pallas fused upsample+shift+blend+
@@ -619,10 +603,16 @@ class STRise:
         the single-chip scan path also enqueues the selection+combine
         program and stores a one-fetch finisher on
         ``self._fused_finish`` that sets every score attribute AND the
-        saliency map — no per-stage device round trips."""
+        saliency map — no per-stage device round trips.  When that
+        finisher armed, the returned drain delegates to it (the fused
+        program computes the probe/ref/gallery scores on device, so the
+        generic drain path would read attributes that were never set) —
+        the drain contract holds on every path, with the fused drain
+        additionally setting ``saliency_map``."""
         builtin = self.black_box in self.black_boxes if self.black_box \
             else False
         self._fused_finish = None
+        fused_cb = None
 
         if builtin:
             if not self.resnet_net:
@@ -666,25 +656,24 @@ class STRise:
                         [shifts, jnp.zeros((pad, 2), shifts.dtype)])
             else:
                 masks = self._masks_dev
-                if pad:
-                    masks = jnp.concatenate(
-                        [masks, jnp.zeros((pad,) + masks.shape[1:],
-                                          masks.dtype)])
                 # all chunks in ONE scanned program (saves one dispatch
                 # round trip per chunk; see _fused_scorer_scan).  Under a
                 # mesh the chunk axis shards over 'dp' (shard_map;
                 # identical per-chunk program), so --mesh auto keeps the
-                # scan win.
+                # scan win.  Row + chunk padding concatenate ONCE — the
+                # mask tensor is ~1.3 GB f32 at 6500 masks, and each
+                # concatenate is a full-tensor HBM copy.
                 nchunk = (n + pad) // bs
+                cpad = 0
                 if self.mesh is not None:
-                    dp = self.mesh.shape["dp"]
-                    cpad = (-nchunk) % dp
-                    if cpad:
-                        masks = jnp.concatenate(
-                            [masks,
-                             jnp.zeros((cpad * bs,) + masks.shape[1:],
-                                       masks.dtype)])
-                        nchunk += cpad
+                    cpad = (-nchunk) % self.mesh.shape["dp"]
+                    nchunk += cpad
+                if pad or cpad:
+                    masks = jnp.concatenate(
+                        [masks,
+                         jnp.zeros((pad + cpad * bs,) + masks.shape[1:],
+                                   masks.dtype)])
+                if self.mesh is not None:
                     scan = self._fused_scorer_scan_shmap(nchunk, bs)
                     masks_c = self._dp_put(
                         masks.reshape(nchunk, bs, *masks.shape[1:]))
@@ -732,6 +721,7 @@ class STRise:
                         self.saliency_map = np.array(smap)
 
                     self._fused_finish = fused_finish
+                    fused_cb = fused_finish
 
             if use_pallas:
                 for i in range(0, n + pad, bs):
@@ -744,6 +734,18 @@ class STRise:
                     gal_chunks.append(gs)
 
             def drain():
+                if fused_cb is not None:
+                    # Fused launch: the probe/ref/gallery score attrs the
+                    # generic path below reads were never set (the fused
+                    # program computes them on device), so honoring the
+                    # drain contract means running the one-fetch finisher
+                    # — callers that ignore self._fused_finish still get
+                    # every score attribute and the saliency map.  (A
+                    # closure-captured callback, NOT self._fused_finish:
+                    # launch_evaluate claims-and-clears that attribute
+                    # before any drain could run.)
+                    fused_cb()
+                    return
                 self.masked_probe_ref_scores = np.asarray(
                     jnp.concatenate(ref_chunks))[:n]
                 self.masked_probe_gallery_scores = np.asarray(

@@ -345,6 +345,39 @@ class Whitebox:
             self._jit_cache[key] = fn
         return fn
 
+    def _shmap_kernel(self, key, local, sharded, n_out=1, precision="high",
+                      mesh=None):
+        """The jit+shard_map boilerplate shared by every mesh fast path:
+        wrap a ``local`` per-device body (shared with the single-chip
+        jit) in a shard_map whose argument positions in ``sharded`` carry
+        the independent step axis over 'dp' and everything else (params,
+        images, counts) replicates, then register it under
+        ``key + (mesh_key,)``.  No collectives anywhere — the fast paths
+        all decompose into device-independent steps and shard_map just
+        pins the decomposition; outputs concatenate in global step
+        order.  ``n_out`` > 1 for bodies returning a tuple (every output
+        'dp'-sharded)."""
+        mesh = self.mesh if mesh is None else mesh
+        from jax.sharding import PartitionSpec as Pspec
+
+        def build():
+            out_specs = (Pspec("dp") if n_out == 1
+                         else tuple([Pspec("dp")] * n_out))
+
+            @jax.jit
+            def fn(*args):
+                lp = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=tuple(Pspec("dp") if i in sharded else Pspec()
+                                   for i in range(len(args))),
+                    out_specs=out_specs)
+                return lp(*args)
+
+            return fn
+
+        return self._kernel(key + (mesh_key(mesh),), build,
+                            precision=precision)
+
     @property
     def _n_events(self):
         return self.net.graph.n_events
@@ -1143,10 +1176,15 @@ class Whitebox:
         graph = self.net.graph
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         sweep_dt = self._wsebp_dtype
-        # snapshot at build time (the cache key records this value; a
-        # trace-time self read could diverge from it after a flag flip)
-        casc = bool(self.wsebp_cascade)
         mesh = self.mesh
+        # snapshot at build time (the cache key records this value; a
+        # trace-time self read could diverge from it after a flag flip).
+        # Record the EFFECTIVE value: with row_shard set (mesh rows-over-
+        # 'dp') the interpreter runs the bucketed walks — the cascade's
+        # growing row batch would break the static per-device row
+        # partition — so a True here would only mint a second cache entry
+        # compiling a byte-identical row-sharded program.
+        casc = bool(self.wsebp_cascade) and mesh is None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -1196,7 +1234,9 @@ class Whitebox:
         else:
             row_shard = None
 
-        casc = bool(self.wsebp_cascade)  # snapshot: key records this
+        # snapshot of the EFFECTIVE value (see _wsebp_sweep_fn): the
+        # interpreter ignores cascade when row_shard is set
+        casc = bool(self.wsebp_cascade) and mesh is None
 
         @jax.jit
         def fn(params, x, elems, vals, scores):
@@ -1373,28 +1413,24 @@ class Whitebox:
         sweep), which real chips do not."""
         mode, wb = self._ebp_subtree_mode, self._ebp_with_bias
         sweep_dt = self._wsebp_dtype
-        mesh = self.mesh
-        from jax.sharding import PartitionSpec as Pspec
+        casc = bool(self.wsebp_cascade)  # snapshot: key records this;
+        # (probes-over-dp shards whole sweeps, so unlike the row-sharded
+        # variants the per-device walk DOES cascade)
 
         # same sweep body as the single-device jit — any change to the
         # walk applies to both paths
         local = self._wsebp_scan_local(topk, do_max, n_buckets,
                                        chunk=1, unroll=1)
 
-        @jax.jit
-        def fn(params, x, elems, vals, scores):
+        def prepped(params, x, elems, vals, scores):
             params, x = self._prep(params, x, sweep_dt)
-            dp = Pspec("dp")
-            lp = jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(Pspec(), dp, dp, dp, dp),
-                out_specs=(dp, dp))
-            return lp(params, x, elems, vals, scores)
+            return local(params, x, elems, vals, scores)
 
-        return self._kernel(("wsebp_sweep_select_shmap", mode, wb,
-                             n_buckets, int(topk), bool(do_max),
-                             str(sweep_dt), bool(self.wsebp_cascade),
-                             mesh_key(mesh)), lambda: fn)
+        # args: (params, x, elems, vals, scores) — all but params sharded
+        return self._shmap_kernel(
+            ("wsebp_sweep_select_shmap", mode, wb, n_buckets, int(topk),
+             bool(do_max), str(sweep_dt), casc),
+            prepped, sharded={1, 2, 3, 4}, n_out=2)
 
     def _wsebp_buckets(self, n_buckets=6):
         """Static partition of candidate events 0..n_events-2 into buckets
@@ -1892,21 +1928,11 @@ class Whitebox:
         device running the identical local scan on its chunk range.  No
         collectives — chunks are independent; outputs concatenate in
         global row order."""
-        mesh = self.mesh
-        local = self._blend_encode_mono_local(T, bs)
-        from jax.sharding import PartitionSpec as Pspec
-
-        @jax.jit
-        def fn(params, orig, inp, counts, t0s):
-            lp = jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(Pspec(), Pspec(), Pspec(), Pspec(),
-                          Pspec("dp")),
-                out_specs=Pspec("dp"))
-            return lp(params, orig, inp, counts, t0s)
-
-        return self._kernel(("blend_encode_mono_shmap", T, bs, mesh_key(mesh)),
-                            lambda: fn, precision=None)
+        # args: (params, orig, inp, counts, t0s) — t0s sharded
+        return self._shmap_kernel(
+            ("blend_encode_mono_shmap", T, bs),
+            self._blend_encode_mono_local(T, bs), sharded={4},
+            precision=None)
 
     def _blend_encode_mono_multi_fn(self, M, T, bs):
         """Multi-map variant of :meth:`_blend_encode_mono_fn`: M monotone
@@ -1969,22 +1995,11 @@ class Whitebox:
         step range with the identical body.  Outputs concatenate in
         global step order, so the caller's [M, nchunk*bs] reshape sees
         the same layout as the single program."""
-        mesh = self.mesh
-        local = self._blend_encode_mono_multi_local(T, bs)
-        from jax.sharding import PartitionSpec as Pspec
-
-        @jax.jit
-        def fn(params, orig, inp, counts, ms, t0s):
-            lp = jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(Pspec(), Pspec(), Pspec(), Pspec(),
-                          Pspec("dp"), Pspec("dp")),
-                out_specs=Pspec("dp"))
-            return lp(params, orig, inp, counts, ms, t0s)
-
-        return self._kernel(
-            ("blend_encode_mono_multi_shmap", T, bs, mesh_key(mesh)),
-            lambda: fn, precision=None)
+        # args: (params, orig, inp, counts, ms, t0s) — ms/t0s sharded
+        return self._shmap_kernel(
+            ("blend_encode_mono_multi_shmap", T, bs),
+            self._blend_encode_mono_multi_local(T, bs), sharded={4, 5},
+            precision=None)
 
     def _blend_encode_mono_multi_pair_fn(self, M, P, T, bs):
         """Cross-probe variant of :meth:`_blend_encode_mono_multi_fn`:
