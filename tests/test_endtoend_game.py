@@ -84,6 +84,20 @@ def test_generate_and_analyze(game_env):
     assert os.path.basename(bb_maps[0]).split("-", 1)[1] == \
         "bbox-rise-2elem_blur=4_scale_12-saliency.npz"
 
+    # -- cross-net pseudo-method: meanEBP_VGG reads the 'vgg' net's plain
+    # meanEBP maps (reference plot_inpainting_game.py:983-987) — stage
+    # them by copying the toynet meanEBP maps into the vgg tree
+    import shutil
+    for mid in ("00002", "00005"):
+        src = os.path.join(
+            game_env["smaps_dir"], "toynet/subject_ID_1/img/p1/inpainted",
+            "%s-meanEBP_mode=all_v06_cpu-saliency.npz" % mid)
+        dst_dir = os.path.join(game_env["smaps_dir"],
+                               "vgg/subject_ID_1/img/p1/inpainted")
+        os.makedirs(dst_dir, exist_ok=True)
+        shutil.copy(src, os.path.join(dst_dir,
+                                      "%s-meanEBP-saliency.npz" % mid))
+
     # -- analysis + plots ----------------------------------------------------
     methods = [
         "meanEBP_mode=all_v06_cpu",
@@ -91,6 +105,7 @@ def test_generate_and_analyze(game_env):
         "weighted_subtree_triplet_ebp_mode=all,all_v06_top32_cpu",
         "bbox-rise-2elem_blur=4_scale_12",
         "inpaintingMask",
+        "meanEBP_VGG",
     ]
     params = dict(
         threshold_type="percent-density",
@@ -133,6 +148,17 @@ def test_generate_and_analyze(game_env):
         "inpainted_twin_game_balanced-by-mask-net-split.png"))
     assert os.path.exists(os.path.join(game_env["cache_dir"],
                                        "nonmate-cls.pkl"))
+    # dataset-stats figure + identity-flip overlay export (reference
+    # make_inpaintinggame_plots tail, plot_inpainting_game.py:171-287)
+    assert os.path.exists(os.path.join(game_env["out_dir"],
+                                       "datasets-stats-toynet.png"))
+    idflips = glob.glob(os.path.join(
+        game_env["out_dir"], "toynet/mask-*/*/*-idflip.png"))
+    # every (mask, method) group with a flipping row exports overlays
+    assert len(idflips) >= len(methods), idflips
+    import imageio.v2 as imageio
+    rgb = imageio.imread(idflips[0])
+    assert rgb.shape == (224, 224, 3) and rgb.max() > 0
 
     # cache reuse: re-run analysis, CLS curves identical
     ncls2 = make_inpaintinggame_plots(net_dict, dict(params),
@@ -209,3 +235,36 @@ def test_batched_generation_matches_serial(game_env, tmp_path):
             # few pixels under float cumsum reassociation
             np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-5,
                                        err_msg=os.path.basename(g))
+
+
+def test_batched_generation_failure_isolation(game_env, tmp_path):
+    """A bad job (nonexistent image base) must not abort the batched run:
+    the good jobs' maps land on disk and the failure surfaces at the end
+    (serial driver / reference-pool semantics)."""
+    from xfr_tpu.inpainting_game import generate as G
+
+    wb = game_env["wb"]
+    out = str(tmp_path / "smaps_fail")
+    os.makedirs(out, exist_ok=True)
+    jobs = [(1, "%05d" % 2, "img/NO_SUCH_IMAGE"),
+            (1, "%05d" % 2, "img/p1"), (1, "%05d" % 5, "img/p1")]
+    with pytest.raises(RuntimeError, match="NO_SUCH_IMAGE|failed"):
+        G.generate_wb_smaps_batched(
+            wb, "toynet", jobs, subtree_mode_weighted="all", ebp_ver=6,
+            overwrite=True, data_dir=game_env["data_dir"],
+            smaps_dir=out, batch_size=2)
+    maps = glob.glob(os.path.join(
+        out, "toynet/subject_ID_1/img/p1/inpainted/*-saliency.npz"))
+    assert len(maps) == 8  # 4 methods x the 2 good jobs still generated
+
+    # meanEBP-only invocation (lazy em/en path: no triplet encodes)
+    out2 = str(tmp_path / "smaps_mean")
+    os.makedirs(out2, exist_ok=True)
+    n = G.generate_wb_smaps_batched(
+        wb, "toynet", jobs[1:], subtree_mode_weighted="all", ebp_ver=6,
+        overwrite=True, method="meanEBP",
+        data_dir=game_env["data_dir"], smaps_dir=out2, batch_size=2)
+    assert n == 2
+    maps = glob.glob(os.path.join(
+        out2, "toynet/subject_ID_1/img/p1/inpainted/*-saliency.npz"))
+    assert len(maps) == 2 and all("meanEBP" in m for m in maps)

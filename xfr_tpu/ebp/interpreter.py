@@ -232,7 +232,6 @@ def ebp_backward_allevents(
     eps: float = 1e-16,
     with_bias: bool = False,
     n_buckets: int = 1,
-    out_event: Optional[int] = None,
     row_shard=None,
     cascade: bool = False,
 ):
@@ -271,13 +270,16 @@ def ebp_backward_allevents(
     buckets so the shard sizes stay static).
 
     Returns (P_out [n_events-1, *out_shape], maxes [n_events-1]) where
-    P_out is the channel-summed MWP at ``out_event`` (default: the
-    saliency plane, n_events-2) and maxes are per-row map maxima for
-    host-side validity selection.
+    P_out is the channel-summed MWP at the saliency plane (event
+    n_events-2 — a configurable output event would need the event's
+    tensor to sit BELOW every bucket's truncation frontier, or truncated
+    buckets would silently contribute no row; the sweep only ever reads
+    the saliency plane) and maxes are per-row map maxima for host-side
+    validity selection.
     """
     _check_mode(graph, subtree_mode)
     n_cand = graph.n_events - 1
-    kk = (graph.n_events - 2) if out_event is None else out_event
+    kk = graph.n_events - 2
 
     ev_by_key = {(e.tensor, e.consumer, e.slot): e for e in graph.events}
 

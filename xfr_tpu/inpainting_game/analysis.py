@@ -87,6 +87,20 @@ def skip_combination(net, method, suffix_aggr):
     return False
 
 
+def _crossnet_method_remap(d, method):
+    """meanEBP_VGG / meanEBP_ResNet are cross-net pseudo-methods: a
+    comparison row that reads ANOTHER net's plain meanEBP saliency maps
+    while scoring under the current net's embeddings (reference:
+    plot_inpainting_game.py:983-987 twin-cls and :1084-1088 IoU).  Remap
+    the path-format dict's NET/METHOD before any filename is built."""
+    if method == "meanEBP_VGG":
+        d["NET"] = "vgg"
+        d["METHOD"] = "meanEBP"
+    elif method == "meanEBP_ResNet":
+        d["NET"] = "resnet+compat-scale1"
+        d["METHOD"] = "meanEBP"
+
+
 def get_base_methods(methods):
     base = [m.split("_scale_")[0] for m in methods]
     base = [m.split("_trunc")[0] for m in base]
@@ -184,7 +198,11 @@ def method_label_and_idx(method, methods, human_net_labels, net=None):
     except KeyError:
         label = method
         slabel = method
-    assert method_idx < 10  # limited by the color map used
+    # _method_color plots method i as f"C{i+1}" (C0 is reserved for the
+    # ground-truth line) and matplotlib's tab10 cycle wraps at C10 — so
+    # 9 methods is the hard cap, not 10 (method_idx 9 would render as
+    # C10 == C0 and masquerade as ground truth)
+    assert method_idx < 9  # limited by the color map used
     return label, method_idx, slabel
 
 
@@ -289,6 +307,132 @@ def overlap_mask(smap, img, gt_mask, pred_mask):
     rgb[pred_mask & gt_mask] = np.array([0, 1, 0])
     rgb[pred_mask & np.invert(gt_mask)] = np.array([1, 0, 0])
     return rgb
+
+
+def dataset_stats(nonmate_classification, inpainting_v2_data, output_dir):
+    """Per-net/mask/method triplet-count report + the per-net
+    ``datasets-stats-{net}.png`` bar figure (the stats tail of the
+    reference's make_inpaintinggame_plots, plot_inpainting_game.py:
+    171-219).  Bars are in mask order (the reference hardcodes a
+    6-position swap [0,1,2,3,5,4] that crashes on any other mask count;
+    ordering is cosmetic)."""
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    for base_net, net_inp in inpainting_v2_data.groupby("NET"):
+        probes = net_inp.loc[net_inp["TRIPLET_SET"] == "PROBE"]
+        print("\n%s has %d inpainted triplet examples from %d subjects." %
+              (base_net, len(probes), len(net_inp["SUBJECT_ID"].unique())))
+        for mask_id, msk_grp in probes.groupby("MASK_ID"):
+            print("\tmask %s contains %d images from %d subjects." %
+                  (mask_id, len(msk_grp),
+                   len(msk_grp["SUBJECT_ID"].unique())))
+
+    num_triplets = {}
+    for (base_net, method), mdata in nonmate_classification.groupby(
+            ["NET", "METHOD"]):
+        print("\n%s + %s has %d inpainted triplet examples from %d "
+              "subjects." % (base_net, method, len(mdata),
+                             len(mdata["SUBJECT_ID"].unique())))
+        counts = num_triplets.setdefault(base_net, OrderedDict())
+        for mask_id, msk_grp in mdata.groupby("MASK_ID"):
+            print("\tmask %s contains %d examples from %d subjects." %
+                  (mask_id, len(msk_grp),
+                   len(msk_grp["SUBJECT_ID"].unique())))
+            # all methods share the triplet set for a net
+            counts[mask_id] = len(msk_grp)
+
+    for base_net, counts in num_triplets.items():
+        fig, ax = plt.subplots(1, 1, figsize=(6, 4), squeeze=True)
+        x = np.arange(len(counts))
+        ax.bar(x, list(counts.values()))
+        ax.set_xticks(x)
+        ax.set_xticklabels(
+            [regions_human_labels.get(k, str(k)) for k in counts],
+            rotation=50)
+        fig.subplots_adjust(top=1, bottom=0.5, left=0.2, right=0.98)
+        show.savefig("datasets-stats-%s.png" % base_net, fig,
+                     output_dir=output_dir)
+        plt.close(fig)
+
+
+def export_mask_overlaps(nonmate_classification, params, max_rows=40):
+    """Identity-flip overlay PNGs (the maskoverlap pass of the
+    reference's make_inpaintinggame_plots, plot_inpainting_game.py:
+    221-287): for each (net, merged-mask, method) group render up to
+    ``max_rows`` probes with the ground-truth inpainting region gray and
+    the saliency's top-k pixel set — k at the threshold where the probe
+    FIRST classifies as the inpainted twin — green where it hits the
+    region and red where it false-alarms, written to
+    ``{out}/{NET}/mask-{id}/{METHOD}/{basename}-{orig}-idflip.png``.
+
+    Unlike the reference, the smap path applies the cross-net pseudo-
+    method remap and a missing map skips the row under
+    ``ignore_missing_saliency_maps`` instead of crashing the export."""
+    import imageio.v2 as imageio
+
+    from xfr_tpu.utils.image import center_crop
+
+    output_dir = params["output_dir"]
+    if params.get("output_subdir"):
+        output_dir = os.path.join(output_dir, params["output_subdir"])
+    data_dir = params.get("data_dir") or xfr_tpu.inpaintgame2_dir
+    smap_root = "%s{SUFFIX_AGGR}/" % params["smap_root"]
+    smap_pattern = os.path.join(
+        smap_root, "{NET}/subject_ID_{SUBJECT_ID}/{ORIGINAL_BASENAME}/"
+        "inpainted/{ORIG_MASK_ID:05d}-{METHOD}-saliency.npz")
+    orig_pattern = os.path.join(
+        data_dir, "aligned/{SUBJECT_ID}/{ORIGINAL_BASENAME}/"
+        "inpainted/{ORIG_MASK_ID:05d}_truth.png")
+    mask_pattern = os.path.join(
+        data_dir, "aligned/{SUBJECT_ID}/{ORIGINAL_BASENAME}/masks/"
+        "{ORIG_MASK_ID:05d}.png")
+
+    written = []
+    for keys, grp in nonmate_classification.groupby(
+            ["NET", "MASK_ID", "METHOD"]):
+        for row_num, (_, row) in enumerate(grp.iterrows()):
+            if row_num >= max_rows:
+                break
+            cls = np.asarray(row["CLS_AS_TWIN"])
+            if cls[-1] != 1:
+                # never stably flips: show the full-sweep endpoint
+                first_correct = len(cls) - 1
+            else:
+                first_correct = int(np.min(np.where(cls == 1)[0]))
+            n_pixels = int((np.asarray(row["TRUE_POS"]) +
+                            np.asarray(row["FALSE_POS"]))[first_correct])
+            d = row.to_dict()
+            _crossnet_method_remap(d, row["METHOD"])
+            try:
+                smap = np.load(smap_pattern.format(**d),
+                               allow_pickle=True)["saliency_map"]
+                img = center_crop(
+                    imageio.imread(orig_pattern.format(**d)),
+                    convert_uint8=False)
+                gt_mask = np.asarray(
+                    imageio.imread(mask_pattern.format(**d))).astype(bool)
+            except (IOError, OSError):
+                if not params.get("ignore_missing_saliency_maps"):
+                    raise
+                continue
+            smap_sorted = np.sort(smap, axis=None)[::-1]
+            thr = smap_sorted[min(n_pixels, smap.size - 1)]
+            pred_mask = smap > thr
+            rgb = overlap_mask(smap, np.asarray(img, np.float64), gt_mask,
+                               pred_mask)
+            fpath = os.path.join(
+                output_dir, str(keys[0]), "mask-%d" % row["MASK_ID"],
+                row["METHOD"],
+                "%s-%d-idflip.png" % (
+                    str(row["ORIGINAL_BASENAME"]).replace("/", "-"),
+                    row["ORIG_MASK_ID"]))
+            Path(os.path.dirname(fpath)).mkdir(exist_ok=True, parents=True)
+            imageio.imwrite(fpath,
+                            (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            written.append(fpath)
+    return written
 
 
 def _threshold_schedule(threshold_type):
@@ -478,6 +622,7 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                     def launch_twin_cls():
                         d = row.to_dict()
                         d["METHOD"] = method
+                        _crossnet_method_remap(d, method)
                         d["SUFFIX_AGGR"] = suffix_aggr
                         smap_filename = smap_pattern.format(**d)
                         try:
@@ -527,6 +672,7 @@ def run_inpaintinggame_analysis(hgame_thresholds, hgame_percentile, params,
                     def calc_saliency_intersect_over_union():
                         d = row.to_dict()
                         d["METHOD"] = method
+                        _crossnet_method_remap(d, method)
                         d["SUFFIX_AGGR"] = suffix_aggr
                         mask_filename = mask_pattern.format(**d)
                         inpainted_region = imageio.imread(mask_filename)
@@ -807,4 +953,13 @@ def make_inpaintinggame_plots(net_dict, params, human_net_labels=None):
 
     generate_plots(nonmate_classification, hgame_thresholds,
                    hgame_percentile, params, human_net_labels)
+
+    # dataset stats report + figure, then the per-probe identity-flip
+    # overlay export (reference tail order, plot_inpainting_game.py:
+    # 171-287)
+    output_dir = params["output_dir"]
+    if params.get("output_subdir"):
+        output_dir = os.path.join(output_dir, params["output_subdir"])
+    dataset_stats(nonmate_classification, inpainting_v2_data, output_dir)
+    export_mask_overlaps(nonmate_classification, params)
     return nonmate_classification

@@ -438,30 +438,58 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
             "trunc": method in (None, "contrastive"),
             "weighted-subtree": method in (None, "weighted-subtree")}
 
-    pend = []
+    # Light resolve: triplet CSV + paths + cached-method filtering only —
+    # image loads, uploads and encodes are deferred to the group loop so
+    # memory stays O(batch) instead of O(jobs).  A bad job (missing
+    # probe row, unreadable CSV, ...) is recorded and skipped, like the
+    # serial driver's per-job catch (reference pool semantics).
+    pend, failures = [], []
     for (subj_id, mask_id, img_base) in jobs:
-        probe_data, probes, probe_masks, mates, nonmates = _load_triplet(
-            net_name, subj_id, mask_id, img_base, data_dir=data_dir)
-        cropped = os.path.join(data_dir, "aligned/%s" % subj_id)
-        outdir = os.path.join(
-            smaps_dir, "%s/subject_ID_%s" % (net_name, subj_id),
-            os.path.split(os.path.relpath(probes[0], cropped))[0])
-        os.makedirs(outdir, exist_ok=True)
-        todo = {m: want[m] and (overwrite or not os.path.exists(
-            "%s/%s-%s-saliency.npz" % (outdir, mask_id, slugs[m])))
-            for m in slugs}
-        if not any(todo.values()):
-            continue
-        probe_im = next(iter(image_loader(probes)))
-        mask_im = next(iter(image_loader(probe_masks)))
-        im_mates = list(image_loader(mates))
-        im_nonmates = list(image_loader(nonmates))
-        em, en = _avg_encodings(wb, im_mates, im_nonmates)
-        pend.append(dict(mask_id=mask_id, outdir=outdir,
-                         probe_im=probe_im, mask_im=mask_im,
-                         probe_row=probe_data.iloc[0], em=em, en=en,
-                         todo=todo,
-                         x=wb.convert_from_numpy(probe_im)))
+        try:
+            probe_data, probes, probe_masks, mates, nonmates = \
+                _load_triplet(net_name, subj_id, mask_id, img_base,
+                              data_dir=data_dir)
+            cropped = os.path.join(data_dir, "aligned/%s" % subj_id)
+            outdir = os.path.join(
+                smaps_dir, "%s/subject_ID_%s" % (net_name, subj_id),
+                os.path.split(os.path.relpath(probes[0], cropped))[0])
+            os.makedirs(outdir, exist_ok=True)
+            # smap_cached (not a hand-rolled npz check): the overlay png
+            # and npz are one cache unit, so an interrupted earlier run
+            # regenerates instead of being skipped forever
+            todo = {m: want[m] and (overwrite or
+                                    not smap_cached(slugs[m], outdir,
+                                                    mask_id))
+                    for m in slugs}
+            if not any(todo.values()):
+                continue
+            pend.append(dict(mask_id=mask_id, outdir=outdir,
+                             probes=probes, probe_masks=probe_masks,
+                             mates=mates, nonmates=nonmates,
+                             probe_row=probe_data.iloc[0], todo=todo))
+        except Exception as e:
+            print("Job failed: %r (%s)" % ((subj_id, mask_id, img_base),
+                                           e))
+            failures.append(((subj_id, mask_id, img_base), repr(e)))
+
+    def _needs_triplet(todo):
+        return (todo["contrastive"] or todo["trunc"] or
+                todo["weighted-subtree"])
+
+    def _resolve(j):
+        """Load one job's images / device tensors (deferred heavy half of
+        the resolve).  em/en encode only when a triplet method needs
+        them — a meanEBP-only invocation skips the mate/nonmate image
+        loads and the padded device encode entirely."""
+        j["probe_im"] = next(iter(image_loader(j.pop("probes"))))
+        j["mask_im"] = next(iter(image_loader(j.pop("probe_masks"))))
+        mates, nonmates = j.pop("mates"), j.pop("nonmates")
+        if _needs_triplet(j["todo"]):
+            j["em"], j["en"] = _avg_encodings(
+                wb, list(image_loader(mates)),
+                list(image_loader(nonmates)))
+        j["x"] = wb.convert_from_numpy(j["probe_im"])
+        return j
 
     def _write(j, slug_key, smap):
         create_save_smap(
@@ -497,12 +525,21 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
             Pn = jnp.ones((Bp, wb.net.num_classes()), jnp.float32)
             pooled_dev, _ = wb._ebp_pooled_fn()(wb.net.params, x, Pn)
 
+        def _embed_stacks():
+            # meanEBP-only jobs skipped their em/en encode; their rows in
+            # a mixed group carry any valid pair (results discarded by
+            # the per-job todo gates in _drain, exactly like the padding
+            # duplicates)
+            em0 = next(j["em"] for j in group if "em" in j)
+            en0 = next(j["en"] for j in group if "en" in j)
+            return (np.stack([j.get("em", em0) for j in padded]),
+                    np.stack([j.get("en", en0) for j in padded]))
+
         finish_ct = None
         if any(j["todo"]["contrastive"] for j in group) or \
                 any(j["todo"]["trunc"] for j in group):
-            wb.set_triplet_classifier_batch(
-                np.stack([j["em"] / 2500.0 for j in padded]),
-                np.stack([j["en"] / 2500.0 for j in padded]))
+            ems, ens = _embed_stacks()
+            wb.set_triplet_classifier_batch(ems / 2500.0, ens / 2500.0)
             finish_ct = wb.launch_contrastive_ebp_batch_both(
                 x, truncate_percent=20)
 
@@ -510,9 +547,8 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
         if any(j["todo"]["weighted-subtree"] for j in group) and \
                 wsebp_max_candidates is None:
             # batched ranking pass + scan-batched static sweeps
-            wb.set_triplet_classifier_batch(
-                np.stack([j["em"] for j in padded]),
-                np.stack([j["en"] for j in padded]))
+            ems, ens = _embed_stacks()
+            wb.set_triplet_classifier_batch(ems, ens)
             finish_ws = wb.launch_weighted_subtree_ebp_batch(
                 x, topk=32, subtree_mode=subtree_mode_weighted,
                 verbose=False, **flags)
@@ -555,15 +591,50 @@ def generate_wb_smaps_batched(wb, net_name, jobs, subtree_mode_weighted,
                     return_subtree_maps=False, **flags)
                 _write(j, "weighted-subtree", smap)
 
+    def _fail_group(group, e, stage):
+        print("Job group failed in %s: %s" % (stage, e))
+        for j in group:
+            failures.append(((j["probe_row"].get("SUBJECT_ID", "?"),
+                              j["mask_id"]), repr(e)))
+
     # Double-buffer groups: group N's host drain (transfers + saliency
     # post + png/npz writes) runs while group N+1's programs execute on
     # device, so the device never idles on file IO between groups.
+    # Failures stay group-local: a bad image or a device error drops that
+    # group (recorded) and the run continues, like the serial driver.
+    done = 0
     prev = None
     for lo in range(0, len(pend), batch_size):
-        st = _launch(pend[lo:lo + batch_size])
+        group = []
+        for j in pend[lo:lo + batch_size]:
+            try:
+                group.append(_resolve(j))
+            except Exception as e:
+                print("Job failed: %s/%s (%s)" % (
+                    j["probe_row"].get("SUBJECT_ID", "?"), j["mask_id"],
+                    e))
+                failures.append((("resolve", j["mask_id"]), repr(e)))
+        st = None
+        if group:
+            try:
+                st = _launch(group)
+            except Exception as e:
+                _fail_group(group, e, "launch")
         if prev is not None:
-            _drain(prev)
+            try:
+                _drain(prev)
+                done += len(prev["group"])
+            except Exception as e:
+                _fail_group(prev["group"], e, "drain")
         prev = st
     if prev is not None:
-        _drain(prev)
-    return len(pend)
+        try:
+            _drain(prev)
+            done += len(prev["group"])
+        except Exception as e:
+            _fail_group(prev["group"], e, "drain")
+    if failures:
+        # completed maps are on disk; fail the run like the serial
+        # driver's failure report (and the blackbox pipeline above)
+        raise RuntimeError("whitebox job(s) failed: %r" % (failures,))
+    return done
