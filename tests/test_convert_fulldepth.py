@@ -63,3 +63,25 @@ def test_lightcnn_fulldepth_forward_parity():
     values = I.forward_clean(graph, params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(values[graph.output_id]), y_ref,
                                rtol=1e-8, atol=1e-9)
+
+
+def test_runtime_init_params_absent_from_checkpoint():
+    """The real resnet50_128.pth carries NO fc1 — the reference builds it
+    at runtime (whitebox.py:216-229) — so conversion must initialize a
+    runtime_init param instead of raising, and still convert it when a
+    replica does provide it."""
+    import pytest
+
+    from xfr_tpu.models import convert
+
+    shapes = {"conv1": {"w": (4, 3, 3, 3)}, "fc1": {"w": (2, 4)}}
+    sd = {"conv1.weight": np.zeros((4, 3, 3, 3), np.float32)}
+    with pytest.raises(KeyError, match="fc1"):
+        convert.params_from_state_dict(shapes, sd)
+    params = convert.params_from_state_dict(shapes, sd,
+                                            runtime_init=("fc1",))
+    assert params["fc1"]["w"].shape == (2, 4)
+    sd["fc1.weight"] = np.ones((2, 4), np.float32)
+    params = convert.params_from_state_dict(shapes, sd,
+                                            runtime_init=("fc1",))
+    np.testing.assert_array_equal(np.asarray(params["fc1"]["w"]), 1.0)

@@ -30,7 +30,13 @@ def main(argv=None):
         in_dir = args.dists_dir or os.path.join(
             xfr_tpu.xfr_root, "output",
             "ROC_Curve_Analysis_Inpainting_Game", "Net=%s" % net)
-        npz_files = glob.glob(os.path.join(in_dir, "*.npz"))
+        # a shared --dists-dir may hold several nets' dists: fit each
+        # net on ITS files only (calc_subject_dists naming); fall back
+        # to every npz for pre-existing per-net layouts
+        npz_files = glob.glob(os.path.join(in_dir,
+                                           "dists_net=%s_*.npz" % net))
+        if not npz_files:
+            npz_files = glob.glob(os.path.join(in_dir, "*.npz"))
         if not npz_files:
             print("Skipping net %s. Could not find any files in %s." %
                   (net, in_dir))
@@ -59,7 +65,12 @@ def main(argv=None):
         fig, ax = plt.subplots()
         ax.plot(fpr, tpr)
         ax.set(xlabel="FMR", ylabel="TMR")
-        fig.savefig(os.path.join(in_dir, "roc.png"))
+        # several nets sharing one --dists-dir must not overwrite each
+        # other's curve; the default per-net layout keeps the plain name
+        roc_name = ("roc.png" if args.dists_dir is None or
+                    len(args.NET) == 1 else "roc-%s.png" % net)
+        fig.savefig(os.path.join(in_dir, roc_name))
+        plt.close(fig)
 
 
 if __name__ == "__main__":

@@ -244,8 +244,10 @@ def _select_top1(wb, dataset, n_subjects, detector, repeat_probe=False):
         row = []
         for j in range(len(nonmate_ids)):
             idx = 1 if repeat_probe else (1 + j)
-            row.append(f_detection(files[min(idx, len(files) - 1)
-                                         % len(files)], detector))
+            # cycle when a toy-corpus subject has fewer images than
+            # probe columns (the reference assumes vggface2-sized
+            # subject sets, eccv20.py:123)
+            row.append(f_detection(files[idx % len(files)], detector))
         probes.append(row)
     return mates, nonmates, probes
 

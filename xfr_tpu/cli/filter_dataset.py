@@ -4,8 +4,9 @@
 For each network: keep (subject, mask, image) triplets where the original
 probe is closer to the mate centroid than to the inpainted-nonmate gallery
 AND under the match threshold, and vice versa for the inpainted twin.
-Writes filtered_masks_threshold-{net}.csv.  Excludes the ear mask (3) and
-symmetric-eyes mask (4) by default like the reference (:122).
+Writes filtered_masks_threshold-{net}.csv.  Excludes the symmetric-eyes
+mask (4) by default, exactly the reference's mask list (:122 — its
+"ear-mask" comment is stale; 3 is included there too).
 """
 
 from __future__ import annotations
@@ -32,8 +33,14 @@ def main(argv=None):
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--mask-ids", nargs="+", type=int,
                         default=DEFAULT_MASK_IDS)
-    parser.add_argument("--average-nonmates", action="store_true",
-                        default=True)
+    parser.add_argument("--average-nonmates",
+                        action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="score probes against the averaged inpainted"
+                        " gallery (reference default); --no-average-"
+                        "nonmates keeps per-image galleries and records "
+                        "each probe's closest gallery image in "
+                        "BestGalleryFile")
     args = parser.parse_args(argv)
 
     import pandas as pd
@@ -76,7 +83,7 @@ def main(argv=None):
             pr_dist = np.linalg.norm(probe_embeds - mate_embeds, axis=2)
 
             for mask_id in args.mask_ids:
-                nonmate_fns, twin_probe_fns = [], []
+                nonmate_fns, nonmate_basenames, twin_probe_fns = [], [], []
                 for _, row in subj_data.iterrows():
                     d = row.to_dict()
                     d["MASK_ID"] = mask_id
@@ -85,6 +92,7 @@ def main(argv=None):
                             inpainting_pattern.format(**d))
                     else:
                         nonmate_fns.append(inpainting_pattern.format(**d))
+                        nonmate_basenames.append(d["ORIGINAL_BASENAME"])
 
                 twin_probe_embeds = snet.embeddings(twin_probe_fns,
                                                     norm=True)
@@ -121,6 +129,17 @@ def main(argv=None):
                         subj_data["TRIPLET_SET"] == "PROBE"].iterrows()):
                     d = row.to_dict()
                     d["MASK_ID"] = mask_id
+                    if args.average_nonmates:
+                        best_gal = "average"
+                    else:
+                        # the probe's closest per-image gallery entry
+                        # (reference :208-226; indexed by the gallery
+                        # list itself rather than its fragile
+                        # subj_data.iloc positional shortcut)
+                        g = dict(d,
+                                 ORIGINAL_BASENAME=nonmate_basenames[
+                                     int(min_gal[i])])
+                        best_gal = INPAINTING_PATTERN_REL.format(**g)
                     separability.append((
                         net_name, d["SUBJECT_ID"], d["ORIGINAL_FILE"],
                         d["ORIGINAL_BASENAME"], d["TRIPLET_SET"], mask_id,
@@ -128,7 +147,7 @@ def main(argv=None):
                         twin_diff[i],
                         ORIGINAL_PATTERN_REL.format(**d),
                         INPAINTING_PATTERN_REL.format(**d),
-                        "average"))
+                        best_gal))
 
     all_subj_data = pd.concat(all_subj_data)
     separability = pd.DataFrame(separability, columns=[

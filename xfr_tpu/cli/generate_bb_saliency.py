@@ -94,6 +94,14 @@ def main(argv=None):
         if job["net"] not in wbnets:
             wbnets[job["net"]] = create_wbnet(job["net"], ebp_version=6)
             net_dict[(job["net"], 6)] = wbnets[job["net"]]
+            if job["net"] == "resnetv4_pytorch":
+                # STRise.mean_ebp_prior looks up ('resnetv4_pytorch',
+                # None): alias the resident net so the default prior
+                # doesn't build a SECOND full ResNet-101 (params, kernel
+                # cache, cold compiles) per process.  (Other matchers
+                # keep the reference semantics: the prior net is
+                # specifically resnetv4, so it must be constructed.)
+                net_dict[("resnetv4_pytorch", None)] = wbnets[job["net"]]
         wb = wbnets[job["net"]]
         # builtin matchers get the fused on-device scorer; others keep the
         # host embeddings contract (reference bb driver path)

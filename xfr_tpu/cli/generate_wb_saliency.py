@@ -160,6 +160,7 @@ def main(argv=None):
 
     if args.batch_size and args.batch_size > 0:
         # batched pipeline: mean/contrastive/truncated batch across jobs
+        failures = []
         for net_name in {j["net"] for j in jobs}:
             wb = create_wbnet(net_name, ebp_version=ebp_ver,
                               ebp_subtree_mode=init_mode)
@@ -172,15 +173,28 @@ def main(argv=None):
             net_jobs = [(j["subject_id"], j["mask_id"], j["img_base"])
                         for j in jobs if j["net"] == net_name]
             for method in args.METHOD:
-                generate_wb_smaps_batched(
-                    wb, net_name, net_jobs,
-                    subtree_mode_weighted=(weighted_mode or
-                                           wb.ebp_subtree_mode()),
-                    ebp_ver=ebp_ver, overwrite=args.overwrite,
-                    method=method,
-                    wsebp_max_candidates=args.wsebp_max_candidates,
-                    data_dir=data_dir, smaps_dir=args.saliency_dir,
-                    batch_size=args.batch_size)
+                try:
+                    generate_wb_smaps_batched(
+                        wb, net_name, net_jobs,
+                        subtree_mode_weighted=(weighted_mode or
+                                               wb.ebp_subtree_mode()),
+                        ebp_ver=ebp_ver, overwrite=args.overwrite,
+                        method=method,
+                        wsebp_max_candidates=args.wsebp_max_candidates,
+                        data_dir=data_dir, smaps_dir=args.saliency_dir,
+                        batch_size=args.batch_size)
+                except Exception as e:
+                    # keep going like the serial branch: a failed (net,
+                    # method) pass must not drop the remaining methods/
+                    # nets of this shard (completed maps are on disk)
+                    print("Batched pass failed: net=%s method=%s (%s)"
+                          % (net_name, method, e))
+                    failures.append((net_name, method, repr(e)))
+        if failures:
+            print("\n%d failed batched passes:" % len(failures))
+            for f in failures:
+                print("  %r" % (f,))
+            sys.exit(1)
         return
 
     wbnets = {}

@@ -69,8 +69,12 @@ def main(argv=None):
                     (1 - masks[..., None]) * 0.5)
 
         def scoring_fn(masked_images):
-            arrs = np.stack([np.transpose(m, (2, 0, 1))
-                             for m in masked_images]).astype(np.float32)
+            # through the net's OWN preprocessing (resize + mean-RGB),
+            # exactly like the mate embedding's file-path branch: a raw
+            # [0,1] HWC stack would hit embeddings()'s already-
+            # preprocessed fast path and be encoded in the wrong domain
+            arrs = np.concatenate([np.asarray(wb.convert_from_numpy(m))
+                                   for m in masked_images])
             e = wb.embeddings(arrs)
             e = e / np.linalg.norm(e, axis=1, keepdims=True)
             return 1.0 - 0.5 * np.linalg.norm(e - mate_embed, axis=1)

@@ -61,10 +61,13 @@ def unpack_aligned(dataset_dir=None, force=False, verbose=True):
         if verbose:
             print("unpacking %s -> IJBC/aligned/%s" % (fname, subj))
         with tarfile.open(os.path.join(ijbc, fname), "r:gz") as tf:
-            # refuse entries that would escape the dataset dir
+            # refuse entries that would escape the dataset dir (the
+            # base dir itself is fine: 'tar -C dir .' archives carry a
+            # benign '.' / './' member)
+            base = os.path.realpath(ijbc)
             for member in tf.getmembers():
                 target = os.path.realpath(os.path.join(ijbc, member.name))
-                if not target.startswith(os.path.realpath(ijbc) + os.sep):
+                if target != base and not target.startswith(base + os.sep):
                     raise ValueError("unsafe path in %s: %s"
                                      % (fname, member.name))
             # data_filter additionally blocks symlink-escape tricks the

@@ -76,6 +76,12 @@ class FasterRCNN:
                               else fusion_thresh)
         self.test_scales = (test_scales,) if np.isscalar(test_scales) \
             else tuple(test_scales)
+        if len(self.test_scales) != 1:
+            # fail at construction with the real constraint, not deep in
+            # _get_image_blob's np.stack over mismatched shapes
+            raise NotImplementedError(
+                "only single-scale detection is implemented "
+                "(test_scales=%r)" % (self.test_scales,))
         self.max_size = max_size
 
     def __call__(self, img, padding=0, min_face_size=DIM_THRESH):
@@ -95,7 +101,10 @@ class FasterRCNN:
             bgr_mean = np.mean(img, axis=(0, 1))
             detect_width = width + padding * 2
             detect_height = height + padding * 2
-            pad_im = np.zeros((detect_height, detect_width, 3), np.uint8)
+            # match the input dtype: a uint8 pad buffer would truncate a
+            # float [0,1] probe to all-0/1 and the detector would run on
+            # a black image
+            pad_im = np.zeros((detect_height, detect_width, 3), img.dtype)
             pad_im[:, :, ...] = bgr_mean
             pad_im[padding:padding + height,
                    padding:padding + width, ...] = img

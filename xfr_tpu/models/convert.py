@@ -20,14 +20,21 @@ def _np_of(v):
 
 
 def params_from_state_dict(param_shapes, state_dict, dtype=jnp.float32,
-                           strict=True):
+                           strict=True, runtime_init=()):
     """Build the params dict for a graph from a torch state_dict mapping.
 
     Args:
       param_shapes: GraphBuilder.param_shapes of the target graph.
       state_dict: mapping of torch parameter names to tensors/arrays.
       strict: verify shapes match the template.
+      runtime_init: pnames the reference constructs at runtime rather
+        than storing in the checkpoint (e.g. the external fc1 triplet
+        classifier, whitebox.py:216-229) — when absent from the
+        state_dict they are deterministically initialized instead of
+        raising (and converted normally when a replica does carry them).
     """
+    from xfr_tpu.models import common
+
     params = {}
     for pname, shapes in param_shapes.items():
         p = {}
@@ -36,6 +43,11 @@ def params_from_state_dict(param_shapes, state_dict, dtype=jnp.float32,
                        "mean": "running_mean", "var": "running_var"}
         else:
             key_map = {"w": "weight", "b": "bias"}
+        if pname in runtime_init and not all(
+                f"{pname}.{key_map[k]}" in state_dict for k in shapes):
+            params[pname] = common.init_params({pname: shapes},
+                                               seed=0)[pname]
+            continue
         for key in shapes:
             sd_key = f"{pname}.{key_map[key]}"
             if sd_key not in state_dict:

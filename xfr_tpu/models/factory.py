@@ -35,13 +35,14 @@ WEIGHT_FILES = {
 
 
 def _load_or_init(net_name, param_shapes, weights_path, strip_prefix=None,
-                  ckpt_key="state_dict"):
+                  ckpt_key="state_dict", runtime_init=()):
     path = weights_path or os.path.join(
         xfr_root, WEIGHT_FILES.get(net_name, ""))
     if path and os.path.exists(path):
         sd = convert.load_torch_checkpoint(path, strip_prefix=strip_prefix,
                                            key=ckpt_key)
-        return convert.params_from_state_dict(param_shapes, sd)
+        return convert.params_from_state_dict(param_shapes, sd,
+                                              runtime_init=runtime_init)
     warnings.warn(
         f"weights for {net_name} not found at {path!r}; using deterministic "
         "random initialization (embeddings will not be face-meaningful)")
@@ -88,7 +89,10 @@ def create_wbnet(net_name, device=None, ebp_version=None,
             warnings.warn("ebp_version %s is ignored for %s"
                           % (ebp_version, net_name))
         graph, shapes, enc = VF2.build_resnet50_128()
-        params = _load_or_init(net_name, shapes, weights_path, ckpt_key=None)
+        # the real resnet50_128.pth has NO fc1: the reference constructs
+        # it at runtime (whitebox.py:216-229)
+        params = _load_or_init(net_name, shapes, weights_path,
+                               ckpt_key=None, runtime_init=("fc1",))
         net = WhiteboxNetwork(
             graph, params, encode_tensor=enc, classifier_pname="fc1",
             num_classes=2, preprocess=VF2.preprocess_vggface2,
@@ -103,7 +107,8 @@ def create_wbnet(net_name, device=None, ebp_version=None,
         # Included for encode/embeddings parity; EBP raises on Sigmoid
         # (reference: whitebox.py:403, demo/test_whitebox.py:224).
         graph, shapes, enc = VF2.build_senet50_256()
-        params = _load_or_init(net_name, shapes, weights_path, ckpt_key=None)
+        params = _load_or_init(net_name, shapes, weights_path,
+                               ckpt_key=None, runtime_init=("fc1",))
         net = WhiteboxNetwork(
             graph, params, encode_tensor=enc, classifier_pname="fc1",
             num_classes=2, preprocess=VF2.preprocess_vggface2,
