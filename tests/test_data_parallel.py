@@ -89,6 +89,26 @@ def test_triplet_loader(tmp_path):
     assert mates.shape == (2, 64, 64, 3)
     assert nonmates.shape == (2, 64, 64, 3)
 
+    # net-preprocess transforms return batch-carrying [1,C,H,W]: the
+    # loader must not double-batch them
+    from xfr_tpu.models.resnet101 import preprocess_resnet101
+
+    ds2 = TripletDataLoader(csv, data_root=root,
+                            transform=lambda im: preprocess_resnet101(
+                                np.asarray(im)))
+    probe, mates, _ = ds2[0]
+    assert probe.shape == (1, 3, 224, 224)
+    assert mates.shape == (2, 3, 224, 224)
+
+    # a single matching REF row collapses to a pandas Series under
+    # MultiIndex .loc — the loader must still iterate it
+    csv1 = os.path.join(root, "filtered_one_ref.csv")
+    pd.DataFrame(rows[:2]).to_csv(csv1, index=False)
+    ds3 = TripletDataLoader(csv1, data_root=root)
+    probe, mates, nonmates = ds3[0]
+    assert mates.shape == (1, 64, 64, 3)
+    assert nonmates.shape == (1, 64, 64, 3)
+
 
 def test_partition_jobs():
     from xfr_tpu.parallel.distributed import partition_jobs

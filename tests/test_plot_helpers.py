@@ -106,3 +106,19 @@ def test_plot_helper_goldens():
     for k in golden:
         np.testing.assert_array_equal(golden[k], np.asarray(got[k]),
                                       err_msg=k)
+
+
+def test_create_save_smap_flat_map_writes_zeros(tmp_path):
+    """A flat saliency map (degenerate probe/classifier) must write an
+    all-zero npz, not an all-NaN one (0/0 normalization)."""
+    from xfr_tpu.show import create_save_smap, smap_paths
+
+    probe = np.zeros((32, 32, 3), np.float32)
+    create_save_smap("flat", str(tmp_path), True,
+                     smap_fn=lambda: np.ones((8, 8), np.float32),
+                     probe_im=probe, probe_info={}, mask_im=None,
+                     mask_id="00002")
+    _, npz = smap_paths("flat", str(tmp_path), "00002")
+    sm = np.load(npz)["saliency_map"]
+    assert np.isfinite(sm).all()
+    assert sm.sum() == 0

@@ -78,10 +78,32 @@ def prior_to_grid(prior, mask_scale, prior_type="mean_ebp", pct=50.0):
     return grid / jnp.sum(grid)
 
 
+def check_grid_capacity(prior_shape, mask_scale, num_elements, pct=50.0):
+    """Static guard for the sparse-mask sampler: the pct-percentile prior
+    clip (prior_to_grid) keeps only ~the top (100-pct)% of grid cells, so
+    asking for more elements than that makes Gumbel-top-k silently pick
+    -inf (zero-probability) cells in index order — garbage masks.  The
+    reference fails loudly here (np.random.choice replace=False raises
+    'Fewer non-zero entries in p than size', blackbox.py:320-323); the
+    zero-sync device pipeline cannot count positives per prior, so the
+    guaranteed-capacity bound is checked at trace time instead."""
+    gh = int(math.ceil(prior_shape[0] / mask_scale))
+    gw = int(math.ceil(prior_shape[1] / mask_scale))
+    avail = int(math.ceil(gh * gw * (100.0 - pct) / 100.0))
+    if num_elements > avail:
+        raise ValueError(
+            "num_mask_elements=%d exceeds the %dx%d sampling grid's "
+            "guaranteed positive cells after the %g%%-percentile prior "
+            "clip (~%d): raise mask_scale resolution or lower "
+            "num_mask_elements" % (num_elements, gh, gw, pct, avail))
+
+
 def sample_sparse_grids(key, grid_probs, num_masks, num_elements):
     """[num_masks, gh, gw] binary grids with ``num_elements`` zeros each,
     cells chosen without replacement with probability proportional to
-    ``grid_probs`` (Gumbel-top-k; reference: blackbox.py:320-323)."""
+    ``grid_probs`` (Gumbel-top-k; reference: blackbox.py:320-323).
+    Callers should pre-validate with :func:`check_grid_capacity` (this
+    runs under jit, where a data-dependent raise is impossible)."""
     gh, gw = grid_probs.shape
     logp = jnp.where(grid_probs > 0, jnp.log(grid_probs), -jnp.inf)
     gumbel = jax.random.gumbel(key, (num_masks, gh * gw), jnp.float32)
@@ -130,6 +152,10 @@ def make_masks(key, prior, num_masks, mask_scale, num_elements,
 
     jitted end-to-end (one ~60 ms device launch for 6500 masks; the same
     pipeline dispatched eagerly costs >1 s in op-by-op overhead)."""
+    # a uniform prior binarizes to all-ones after the clip (every cell
+    # equals the percentile), so its capacity is the whole grid
+    check_grid_capacity(prior.shape, mask_scale, num_elements,
+                        pct=0.0 if prior_type == "uniform" else 50.0)
     kg, ks = jax.random.split(jnp.asarray(key))
     grid_probs = prior_to_grid(prior, mask_scale, prior_type)
     grids = sample_sparse_grids(kg, grid_probs, num_masks, num_elements)

@@ -233,6 +233,10 @@ class STRise:
         self._key, sub = jax.random.split(self._key)
         if self.use_pallas_blend and random_shift:
             kg, ks = jax.random.split(sub)
+            M.check_grid_capacity(
+                np.asarray(self.prior).shape, self.mask_scale,
+                self.num_mask_elements,
+                pct=0.0 if self.prior_type == "uniform" else 50.0)
             grid_probs = M.prior_to_grid(
                 jnp.asarray(self.prior, jnp.float32), self.mask_scale,
                 self.prior_type)

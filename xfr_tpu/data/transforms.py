@@ -40,12 +40,26 @@ def _random_crop(img, size, rng):
     return img.crop((left, top, left + size[0], top + size[1]))
 
 
-def _color_jitter(img, rng, brightness=0.1, contrast=0.1, saturation=0.1):
+def _adjust_hue(img, factor):
+    """torchvision-style hue shift: rotate the HSV hue channel by
+    ``factor`` of a full turn (functional.adjust_hue's PIL path)."""
+    h, s, v = img.convert("HSV").split()
+    shift = int(round(factor * 255.0))
+    h = h.point(lambda x: (x + shift) % 256)
+    return PIL.Image.merge("HSV", (h, s, v)).convert("RGB")
+
+
+def _color_jitter(img, rng, brightness=0.1, contrast=0.1, saturation=0.1,
+                  hue=0.1):
     for enh, amount in ((PIL.ImageEnhance.Brightness, brightness),
                         (PIL.ImageEnhance.Contrast, contrast),
                         (PIL.ImageEnhance.Color, saturation)):
         f = 1.0 + rng.uniform(-amount, amount)
         img = enh(img).enhance(f)
+    if hue:
+        # the reference ColorJitter also jitters hue=0.1
+        # (eval/datasets/transforms.py:44)
+        img = _adjust_hue(img, rng.uniform(-hue, hue))
     return img
 
 

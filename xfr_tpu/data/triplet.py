@@ -55,17 +55,27 @@ class TripletDataLoader:
         if self.transform is not None:
             img = self.transform(img)
         arr = np.asarray(img)
-        return arr[None, ...]
+        # net-preprocess transforms in this package return a batch-
+        # carrying [1,C,H,W] (unlike torchvision's [C,H,W]): add the
+        # batch axis only when it is missing, so load_images always
+        # concatenates to [N,...]
+        return arr if arr.ndim == 4 else arr[None, ...]
 
     def load_images(self, column_path, data):
         return np.concatenate([self.load_image(column_path, row)
                                for _, row in data.iterrows()])
 
     def __getitem__(self, idx):
+        import pandas as pd
+
         probe_data = self.probe_ds.iloc[idx]
         probe_im = self.load_image("OriginalFile", probe_data)
         ref_data = self.ref_ds.loc[probe_data["SUBJECT_ID"],
                                    probe_data["MASK_ID"]]
+        if isinstance(ref_data, pd.Series):
+            # a single matching REF row collapses to a Series under
+            # MultiIndex .loc; load_images needs rows to iterate
+            ref_data = ref_data.to_frame().T
         ref_mate_ims = self.load_images("OriginalFile", ref_data)
         ref_nonmate_ims = self.load_images("InpaintingFile", ref_data)
         if self.return_file_info:

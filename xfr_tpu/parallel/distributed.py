@@ -52,21 +52,40 @@ def is_primary():
     return process_info()[0] == 0
 
 
+_BARRIER_GEN: dict = {}
+
+
 def barrier_via_files(path, tag, timeout_s=3600):
-    """Filesystem barrier for shared-FS fleets without jax.distributed."""
+    """Filesystem barrier for shared-FS fleets without jax.distributed.
+
+    Safe to call repeatedly with the same tag — an internal generation
+    counter namespaces each call (every process calls barriers in the
+    same order, so generations agree).  Markers are never cleaned up
+    (removal races the slowest waiter), so a barrier directory must be
+    fresh per run: a pre-existing marker for THIS process raises instead
+    of letting stale markers from a crashed previous run satisfy the
+    count and silently skip synchronization."""
     import time
 
     idx, count = process_info()
     os.makedirs(path, exist_ok=True)
-    marker = os.path.join(path, "%s.%d" % (tag, idx))
+    gen = _BARRIER_GEN.get((path, tag), 0) + 1
+    _BARRIER_GEN[(path, tag)] = gen
+    full = "%s.g%d" % (tag, gen)
+    marker = os.path.join(path, "%s.%d" % (full, idx))
+    if os.path.exists(marker):
+        raise RuntimeError(
+            "stale barrier marker %s already exists — this barrier "
+            "directory was used by a previous run; clear it (or use a "
+            "fresh per-run path) before reusing" % marker)
     open(marker, "w").close()
     t0 = time.time()
     while True:
-        done = sum(os.path.exists(os.path.join(path, "%s.%d" % (tag, i)))
+        done = sum(os.path.exists(os.path.join(path, "%s.%d" % (full, i)))
                    for i in range(count))
         if done >= count:
             return
         if time.time() - t0 > timeout_s:
             raise TimeoutError("barrier %s timed out (%d/%d)"
-                               % (tag, done, count))
+                               % (full, done, count))
         time.sleep(1.0)

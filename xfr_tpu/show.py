@@ -190,7 +190,13 @@ def create_save_smap(method, output_dir, overwrite, smap_fn, mask_id,
         # device_get view; the normalization below is in-place
         smap = np.array(smap_fn(), np.float32)
         smap -= smap.min()
-        smap /= smap.sum()
+        total = smap.sum()
+        if total > 0:
+            smap /= total
+        # else: a flat map (degenerate probe/classifier) stays all-zero —
+        # 0/0 would write an all-NaN npz that downstream analysis
+        # consumes silently; a zero map is handled by the game's
+        # include_zero_saliency machinery
         smap = processSaliency(probe_im, smap)
         overlay = blend_saliency_map(probe_im, smap)
         imageio.imwrite(overlay_filename,

@@ -9,6 +9,8 @@ hit is only honored when the stored inputs match.
 from __future__ import annotations
 
 import os
+import pickle
+import zipfile
 from pathlib import Path
 
 import numpy as np
@@ -17,6 +19,16 @@ import numpy as np
 def _cache_path(fn, cache_dir):
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     return os.path.join(cache_dir, fn.replace("/", "_") + ".npz")
+
+
+# A cache MISS is any failure to produce a valid cached value: missing
+# file, stale/absent keys, forced reprocess (IOError/KeyError), or a
+# CORRUPT file — a run killed mid np.savez leaves a truncated zip that
+# np.load raises zipfile.BadZipFile / EOFError / unpickling ValueError
+# on, and a resumable cache must recompute those, not crash every resume
+# until the file is hand-deleted.
+_CACHE_MISS = (IOError, KeyError, FileNotFoundError, EOFError, ValueError,
+               zipfile.BadZipFile, pickle.UnpicklingError)
 
 
 def _cache_load(fpath, reprocess, save_dict):
@@ -57,7 +69,7 @@ def cache_npz(fn, fun, cache_dir, *args, **kwargs):
     try:
         return _cache_load(fpath, kwargs.get("reprocess_"),
                            kwargs.get("save_dict_"))
-    except (IOError, KeyError, FileNotFoundError):
+    except _CACHE_MISS:
         kwargs.pop("reprocess_", None)
         save_dict = kwargs.pop("save_dict_", {})
         ret = fun(*args, **kwargs)
@@ -76,7 +88,7 @@ def cache_npz_launch(fn, launch_fun, cache_dir, reprocess_=False,
     try:
         val = _cache_load(fpath, reprocess_, save_dict_)
         return lambda: val
-    except (IOError, KeyError, FileNotFoundError):
+    except _CACHE_MISS:
         inner = launch_fun()
 
         def finish():

@@ -35,7 +35,12 @@ def resize(img, shape, order=1, preserve_range=True, anti_aliasing=None,
     out_h, out_w = int(shape[0]), int(shape[1])
     if img.shape[:2] == (out_h, out_w):
         out = img.astype(np.float32) if img.dtype != np.float64 else img
-        return np.array(out, copy=True)
+        out = np.array(out, copy=True)
+        # same normalization as the resized path below — the early
+        # return must not change output SCALE with target shape
+        if not preserve_range and img.dtype == np.uint8:
+            out = out / 255.0
+        return out
 
     def _one(ch):
         pim = PIL.Image.fromarray(np.ascontiguousarray(ch, np.float32),
