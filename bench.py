@@ -37,8 +37,8 @@ BASELINE_BB_MAPS_PER_SEC = 0.0201   # Titan X, 6500-mask STRise map
 BASELINE_EVAL_PER_SEC = 0.72        # Titan X-era, twin-cls + IoU sweep
 
 
-def _emit(metric, value, unit, baseline, times=None, per=1, bound=None):
-    """One JSON metric line.  ``times``: per-iteration wall seconds (each
+def _emit(metric, times, unit, baseline, per=1, bound=None):
+    """One JSON metric line.  per-iteration wall seconds ``times`` (each
     covering ``per`` units).  When given, the headline ``value`` is the
     MEDIAN of per-iteration rates: one axon compile-service stall halved
     the round-4 eval headline (BENCH_r04 15.4 vs steady 25-40 evals/s),
@@ -47,13 +47,12 @@ def _emit(metric, value, unit, baseline, times=None, per=1, bound=None):
     regression from service noise.  ``bound``: known architectural rate
     bound for context (e.g. the WB sweep-only bound)."""
     rec = {"metric": metric, "unit": unit}
-    if times:
-        t = np.asarray(times, np.float64)
-        value = per / float(np.median(t))
-        rec["mean"] = round(per * len(t) / float(t.sum()), 4)
-        rec["min"] = round(per / float(t.max()), 4)
-        rec["max"] = round(per / float(t.min()), 4)
-        rec["iter_times_s"] = [round(float(x), 4) for x in t]
+    t = np.asarray(times, np.float64)
+    value = per / float(np.median(t))
+    rec["mean"] = round(per * len(t) / float(t.sum()), 4)
+    rec["min"] = round(per / float(t.max()), 4)
+    rec["max"] = round(per / float(t.min()), 4)
+    rec["iter_times_s"] = [round(float(x), 4) for x in t]
     rec["value"] = round(value, 4)
     rec["vs_baseline"] = round(value / baseline, 2)
     if bound is not None:
@@ -112,7 +111,7 @@ def bench_blackbox(wb, rng, n_maps=5, num_masks=6500, mesh=None,
     smap = pend()
     times.append(time.time() - t0)
     assert np.isfinite(smap).all()
-    return n_maps / sum(times), times
+    return times
 
 
 def bench_eval(wb, rng, n_groups=10):
@@ -192,7 +191,7 @@ def bench_eval(wb, rng, n_groups=10):
     for f in pend:
         f()
     times.append(time.time() - t0)
-    return 4 * n_groups / sum(times), times
+    return times
 
 
 def bench_whitebox(wb, rng, n_iters=6):
@@ -261,7 +260,7 @@ def bench_whitebox(wb, rng, n_iters=6):
     times.append(time.time() - t0)
     for s in out:
         assert np.isfinite(s).all()
-    return 4.0 * B * n_iters / sum(times), times
+    return times
 
 
 def main():
@@ -283,34 +282,33 @@ def main():
                  "ResNet-101+L2)")
     # bound: the wsebp sweep standalone measures 66.5 ms/probe -> 60.1
     # maps/s sweep-only (tools/_wsebp_roofline.py; CLAUDE.md round-3)
-    wbv, wbt = bench_whitebox(wb, rng)
-    _emit(wb_metric, wbv, "maps/sec/chip", BASELINE_WB_MAPS_PER_SEC,
-          times=wbt, per=32, bound=60.1)
+    wbt = bench_whitebox(wb, rng)
+    _emit(wb_metric, wbt, "maps/sec/chip", BASELINE_WB_MAPS_PER_SEC,
+          per=32, bound=60.1)
     # restore the full classifier: the BB prior's Pn shape (and every
     # encode program signature) depends on net.num_classes()
     wb.net.reset_classifier()
 
-    bb, bbt = bench_blackbox(wb, rng)
+    bbt = bench_blackbox(wb, rng)
     _emit("blackbox STRise saliency maps/sec/chip (6500 masks, mean-EBP "
           "prior, blur fill, ResNet-101+L2 fused scorer)",
-          bb, "maps/sec/chip", BASELINE_BB_MAPS_PER_SEC, times=bbt, per=1)
+          bbt, "maps/sec/chip", BASELINE_BB_MAPS_PER_SEC, per=1)
 
     # The xfr-generate-bb CLI defaults score_precision='high' (ranking-
     # grade bf16_3x matmuls; the library ctor default is the fast scan) —
     # record the PRODUCTION generation rate too, not just the fast one.
-    bbh, bbht = bench_blackbox(wb, rng, n_maps=3, score_precision="high")
+    bbht = bench_blackbox(wb, rng, n_maps=3, score_precision="high")
     _emit("blackbox STRise saliency maps/sec/chip (6500 masks, "
           "score_precision=high — the xfr-generate-bb CLI default)",
-          bbh, "maps/sec/chip", BASELINE_BB_MAPS_PER_SEC, times=bbht,
-          per=1)
+          bbht, "maps/sec/chip", BASELINE_BB_MAPS_PER_SEC, per=1)
 
-    ev, evt = bench_eval(wb, rng)
+    evt = bench_eval(wb, rng)
     _emit("inpainting-game eval probe-method evals/sec/chip "
           "(percent-density sweep: 101 blend embeddings + twin-cls + IoU)",
-          ev, "evals/sec/chip", BASELINE_EVAL_PER_SEC, times=evt, per=4)
+          evt, "evals/sec/chip", BASELINE_EVAL_PER_SEC, per=4)
 
-    _emit(wb_metric, wbv, "maps/sec/chip", BASELINE_WB_MAPS_PER_SEC,
-          times=wbt, per=32, bound=60.1)
+    _emit(wb_metric, wbt, "maps/sec/chip", BASELINE_WB_MAPS_PER_SEC,
+          per=32, bound=60.1)
 
 
 if __name__ == "__main__":

@@ -69,7 +69,11 @@ def test_roi_pool_matches_adaptive_maxpool():
     ], np.float32)
     got = roi_pool(feats, rois, (7, 7), 1.0 / 16)
     for r in range(rois.shape[0]):
-        x1, y1, x2, y2 = [int(round(v / 16.0)) for v in rois[r, 1:]]
+        # torchvision's C++ quantization: std::round = half away from
+        # zero (NOT Python/np round-half-to-even — roi 200/16 = 12.5
+        # must quantize to 13)
+        x1, y1, x2, y2 = [int(np.floor(v / 16.0 + 0.5))
+                          for v in rois[r, 1:]]
         x2, y2 = min(x2, 39), min(y2, 31)
         crop = torch.from_numpy(feats[:, :, y1:y2 + 1, x1:x2 + 1])
         ref = F.adaptive_max_pool2d(crop, (7, 7)).numpy()[0]
@@ -138,10 +142,10 @@ def test_roi_pool_vectorized_matches_naive():
     ph = pw = 14
     want = np.zeros((R, C, ph, pw), np.float32)
     for r in range(R):
-        rx1 = int(round(rois[r, 1] / 16))
-        ry1 = int(round(rois[r, 2] / 16))
-        rx2 = int(round(rois[r, 3] / 16))
-        ry2 = int(round(rois[r, 4] / 16))
+        rx1 = int(np.floor(rois[r, 1] / 16 + 0.5))
+        ry1 = int(np.floor(rois[r, 2] / 16 + 0.5))
+        rx2 = int(np.floor(rois[r, 3] / 16 + 0.5))
+        ry2 = int(np.floor(rois[r, 4] / 16 + 0.5))
         bw = max(rx2 - rx1 + 1, 1) / pw
         bh = max(ry2 - ry1 + 1, 1) / ph
         for i in range(ph):

@@ -46,19 +46,19 @@ def run(tag, stages, wb_iters, bb_maps, eval_groups):
     rng = np.random.RandomState(0)
     out = {}
     if "wb" in stages:
-        v, t = bench.bench_whitebox(wb, rng, n_iters=wb_iters)
-        out["wb_maps_per_s"] = {"rate": round(v, 2),
+        t = bench.bench_whitebox(wb, rng, n_iters=wb_iters)
+        out["wb_maps_per_s"] = {"rate": round(32 * len(t) / sum(t), 2),
                                 "median": round(32 / float(np.median(t)), 2),
                                 "times": [round(x, 3) for x in t]}
     wb.net.reset_classifier()
     if "bb" in stages:
-        v, t = bench.bench_blackbox(wb, rng, n_maps=bb_maps, mesh=mesh)
-        out["bb_maps_per_s"] = {"rate": round(v, 3),
+        t = bench.bench_blackbox(wb, rng, n_maps=bb_maps, mesh=mesh)
+        out["bb_maps_per_s"] = {"rate": round(len(t) / sum(t), 3),
                                 "median": round(1 / float(np.median(t)), 3),
                                 "times": [round(x, 3) for x in t]}
     if "eval" in stages:
-        v, t = bench.bench_eval(wb, rng, n_groups=eval_groups)
-        out["eval_per_s"] = {"rate": round(v, 2),
+        t = bench.bench_eval(wb, rng, n_groups=eval_groups)
+        out["eval_per_s"] = {"rate": round(4 * len(t) / sum(t), 2),
                              "median": round(4 / float(np.median(t)), 2),
                              "times": [round(x, 3) for x in t]}
     return out

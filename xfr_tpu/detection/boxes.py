@@ -167,11 +167,17 @@ def roi_pool(features, rois, output_size=(14, 14), spatial_scale=0.0625):
     ph, pw = output_size
     out = np.zeros((R, C, ph, pw), feats.dtype)
 
-    # integer bin edges for all RoIs at once [R, ph(+1)] / [R, pw(+1)]
-    x1 = np.round(rois[:, 1] * spatial_scale).astype(np.int64)
-    y1 = np.round(rois[:, 2] * spatial_scale).astype(np.int64)
-    x2 = np.round(rois[:, 3] * spatial_scale).astype(np.int64)
-    y2 = np.round(rois[:, 4] * spatial_scale).astype(np.int64)
+    # integer bin edges for all RoIs at once [R, ph(+1)] / [R, pw(+1)].
+    # Quantization is half-AWAY-FROM-ZERO (floor(x+0.5); coords are
+    # clipped >= 0): torchvision's C++ roi_pool uses std::round, and
+    # np.round's round-half-to-even would shift a bin edge by one cell
+    # at exact .5 coordinates (clip_boxes pins x2 to integer W-1, so
+    # (W-1)*1/16 lands on .5 whenever (W-1) % 16 == 8).
+    def _q(v):
+        return np.floor(v * spatial_scale + 0.5).astype(np.int64)
+
+    x1, y1, x2, y2 = (_q(rois[:, 1]), _q(rois[:, 2]),
+                      _q(rois[:, 3]), _q(rois[:, 4]))
     bin_w = np.maximum(x2 - x1 + 1, 1) / pw
     bin_h = np.maximum(y2 - y1 + 1, 1) / ph
     ii = np.arange(ph)

@@ -97,7 +97,10 @@ def build_rpn(num_anchors=9):
     x = g.relu(x, inplace=True)
     cls = g.conv2d(x, 512, 2 * num_anchors, 1, name="rpn_cls_score")
     # cls is the graph output; bbox head built in a sibling graph for
-    # simplicity of the IR's single-output convention.
+    # simplicity of the IR's single-output convention.  The duplicated
+    # rpn_conv_3x3 costs nothing at runtime: both graphs run inside ONE
+    # jit on identical operands and XLA CSE merges the convs (verified:
+    # 4 convolutions in pre-opt stablehlo, 3 after optimization).
     return g.finalize(cls), g.param_shapes
 
 
@@ -168,6 +171,14 @@ class FasterRCNNNetwork:
         self.top_graph, top_shapes, self._cls_tensor = build_top()
         if params is None:
             params = {}
+        for part in ("trunk", "rpn", "top"):
+            # an explicitly-provided-but-empty part means a conversion
+            # matched zero keys: refuse rather than silently running a
+            # random-weight detector that returns garbage detections
+            if part in params and not params[part]:
+                raise ValueError("params[%r] is empty — the checkpoint "
+                                 "conversion produced no %s weights"
+                                 % (part, part))
         self.params = {
             "trunk": params.get("trunk") or init_params(trunk_shapes,
                                                         seed=seed),
