@@ -308,8 +308,8 @@ def test_scan_scorer_matches_chunked():
     st.generate_masks()
     st.apply_masks()
     st.score_masks()  # scan path (mesh is None, 3 chunks in one scan)
-    assert ("strise_scan_scorer", wb.net.encode_tensor, 3, 32, None) \
-        in wb._jit_cache
+    assert ("strise_scan_scorer", wb.net.encode_tensor, 3, 32,
+            float(wb.eps), None) in wb._jit_cache
     scan_ref = np.array(st.masked_probe_ref_scores)
     scan_gal = np.array(st.masked_probe_gallery_scores)
 

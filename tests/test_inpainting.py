@@ -212,7 +212,8 @@ def test_blend_embeddings_mono_program_matches_host():
     dev = wb.blend_embeddings(orig, inp, masks, norm=False)
     bs_m = min(wb.blend_batch,
                -(-len(masks) // wb.batch_size) * wb.batch_size)
-    assert ("blend_encode_mono", len(masks), bs_m, None) in wb._jit_cache
+    assert ("blend_encode_mono", len(masks), bs_m, float(wb.eps),
+            None) in wb._jit_cache
     blends = np.where(masks[:, None], inp[None], orig[None])
     host = np.asarray(wb.embeddings(blends, norm=False))
     np.testing.assert_array_equal(dev, host.reshape(dev.shape))

@@ -26,6 +26,23 @@ from xfr_tpu.ebp import interpreter as I
 from xfr_tpu.parallel.mesh import mesh_key
 
 
+def _row_shard_over_dp(mesh):
+    """Constraint pinning a tensor's leading (candidate-row) axis to the
+    mesh 'dp' axis, or None without a mesh — the rows-over-mesh layout
+    of the per-probe wsebp sweeps (the batched sweeps shard PROBES
+    instead; see _wsebp_sweep_select_shmap_fn)."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def row_shard(g):
+        spec = PartitionSpec(*(["dp"] + [None] * (g.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            g, NamedSharding(mesh, spec))
+
+    return row_shard
+
+
 def _percentile_mass_mask(mwp, percentile):
     """Binary mask keeping the top-(100-percentile)% of MWP *mass*.
 
@@ -330,7 +347,11 @@ class Whitebox:
         kernels (130 vs 140 ms for the B=8 contrastive pair).  The
         encode/embeddings forward opts out (MXU-bound, and plain
         positive sums are precision-robust)."""
-        key = key + (precision,)
+        # eps is baked into every traced EBP backward: mix it into EVERY
+        # key (over-keying merely rebuilds non-eps programs if eps ever
+        # changes; under-keying silently served stale-eps kernels).
+        # Precision stays LAST — tests and tools read k[-1].
+        key = key + (float(self.eps), precision)
         fn = self._jit_cache.get(key)
         if fn is None:
             from xfr_tpu.utils import programs
@@ -375,8 +396,11 @@ class Whitebox:
 
             return fn
 
-        return self._kernel(key + (mesh_key(mesh),), build,
-                            precision=precision)
+        # the shard layout is part of the program: a family key reused
+        # with different sharded args / output arity must not collide
+        return self._kernel(
+            key + (tuple(sorted(sharded)), n_out, mesh_key(mesh)),
+            build, precision=precision)
 
     @property
     def _n_events(self):
@@ -1185,15 +1209,7 @@ class Whitebox:
         # partition — so a True here would only mint a second cache entry
         # compiling a byte-identical row-sharded program.
         casc = bool(self.wsebp_cascade) and mesh is None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            def row_shard(g):
-                spec = PartitionSpec(*(["dp"] + [None] * (g.ndim - 1)))
-                return jax.lax.with_sharding_constraint(
-                    g, NamedSharding(mesh, spec))
-        else:
-            row_shard = None
+        row_shard = _row_shard_over_dp(mesh)
 
         @jax.jit
         def fn(params, x, elems, vals):
@@ -1224,16 +1240,7 @@ class Whitebox:
         mode, wb, eps = self._ebp_subtree_mode, self._ebp_with_bias, self.eps
         sweep_dt = self._wsebp_dtype
         mesh = self.mesh
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            def row_shard(g):
-                spec = PartitionSpec(*(["dp"] + [None] * (g.ndim - 1)))
-                return jax.lax.with_sharding_constraint(
-                    g, NamedSharding(mesh, spec))
-        else:
-            row_shard = None
-
+        row_shard = _row_shard_over_dp(mesh)
         # snapshot of the EFFECTIVE value (see _wsebp_sweep_fn): the
         # interpreter ignores cascade when row_shard is set
         casc = bool(self.wsebp_cascade) and mesh is None
